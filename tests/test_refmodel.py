@@ -1,0 +1,121 @@
+"""Conformance tests for the pure-NumPy reference model (the semantic spec).
+
+Three-tier oracle strategy adopted from the reference's test suite
+(SURVEY.md §4): golden vectors, corpus fixtures, CPython zlib as the
+cross-implementation oracle, round-trip properties, and the 258-byte
+max-match boundary case.
+"""
+import zlib as pyzlib
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from zlibes_tpu.spec import refmodel as rm
+from zlibes_tpu.spec import errors
+
+GOLDEN = Path(__file__).parent / "golden"
+RAW = GOLDEN.joinpath("raw.bin").read_bytes()
+COMPRESSED = GOLDEN.joinpath("compressed.bin").read_bytes()
+
+# Golden vectors for each block type, all decoding to the same 15-byte
+# string (conformance fixtures reused from reference test/index.js:7-10).
+PLAIN = b"This is zlib.es"
+VEC_STORED = bytes([120, 156, 1, 15, 0, 240, 255, 84, 104, 105, 115, 32, 105,
+                    115, 32, 122, 108, 105, 98, 46, 101, 115, 43, 35, 5, 108])
+VEC_FIXED = bytes([120, 156, 11, 201, 200, 44, 86, 0, 162, 170, 156, 204, 36,
+                   189, 212, 98, 0, 43, 35, 5, 108])
+VEC_DYNAMIC = bytes([120, 156, 13, 194, 65, 9, 0, 0, 8, 3, 192, 42, 38, 48,
+                     141, 9, 4, 193, 129, 191, 253, 150, 126, 194, 213, 130,
+                     241, 116, 232, 28, 26, 43, 35, 5, 108])
+
+
+def test_adler32_matches_python():
+    for data in [b"", b"a", PLAIN, RAW[:10000], bytes(range(256)) * 300]:
+        assert rm.adler32(data) == pyzlib.adler32(data)
+
+
+def test_golden_vectors():
+    assert rm.inflate(VEC_STORED) == PLAIN
+    assert rm.inflate(VEC_FIXED) == PLAIN
+    assert rm.inflate(VEC_DYNAMIC) == PLAIN
+
+
+def test_corpus_inflate():
+    """Reference fixture: inflate(compressed.bin) == raw.bin."""
+    assert rm.inflate(COMPRESSED) == RAW
+
+
+def test_inflate_accepts_python_zlib_all_levels():
+    data = RAW[:60000]
+    for level in [0, 1, 6, 9]:
+        assert rm.inflate(pyzlib.compress(data, level)) == data
+
+
+def test_deflate_accepted_by_python_zlib():
+    for data in [b"", b"a", b"ab", PLAIN, RAW[:50000], b"x" * 1000]:
+        out = rm.deflate(data)
+        assert out[:2] == bytes([0x78, 0x9C])
+        assert pyzlib.decompress(out) == data
+
+
+def test_roundtrip_self():
+    for data in [PLAIN, RAW[:40000], np.random.default_rng(0).integers(
+            0, 256, 30000, dtype=np.uint8).tobytes()]:
+        assert rm.inflate(rm.deflate(data)) == data
+
+
+def test_repeat_length_limit():
+    """258-byte max match boundary (mirrors reference test/index.js:88-108)."""
+    data = (b"0123456789" * 120)[:1000]
+    out = rm.deflate(data)
+    assert pyzlib.decompress(out) == data
+    assert rm.inflate(out) == data
+
+
+def test_multiblock_deflate():
+    data = RAW[:300000]  # > 2 blocks at 131072
+    out = rm.deflate(data)
+    assert pyzlib.decompress(out) == data
+
+
+def test_tiny_inputs():
+    """Reference corrupts 0/1-byte inputs (src/lz77.ts:116-117); we must not."""
+    for data in [b"", b"Q", b"ab"]:
+        assert pyzlib.decompress(rm.deflate(data)) == data
+        assert rm.inflate(rm.deflate(data)) == data
+
+
+def test_compressed_size_beats_reference_encoder():
+    """Size bar (config[3]): ≤ zlib.es's own greedy output.  zlib.es uses
+    capped greedy matching with no lazy step (src/lz77.ts) — strictly weaker
+    than our lazy matcher, and measured ≥193k on this corpus for our own
+    greedy-only configuration.  We also check we stay within 2% of canonical
+    zlib level 6 (a much stronger encoder than the reference)."""
+    import zlib as pyzlib
+    out = rm.deflate(RAW)
+    assert len(out) <= 193000
+    assert len(out) <= len(pyzlib.compress(RAW, 6)) * 1.02
+
+
+def test_error_taxonomy():
+    with pytest.raises(errors.HeaderError):
+        rm.inflate(b"\x00\x00" + b"\x00" * 8)
+    with pytest.raises(errors.TruncatedError):
+        rm.inflate(b"\x78")
+    with pytest.raises(errors.HeaderError):
+        rm.inflate(b"\x78\x9D" + b"\x00" * 8)  # bad FCHECK
+    bad = bytearray(pyzlib.compress(PLAIN))
+    bad[-1] ^= 0xFF
+    with pytest.raises(errors.ChecksumError):
+        rm.inflate(bytes(bad))
+    with pytest.raises(errors.BlockTypeError):
+        # header 0x78 0x9c then BFINAL=1,BTYPE=3 → bits 1,1,1 = byte 0x07
+        rm.inflate(bytes([0x78, 0x9C, 0x07]) + b"\x00" * 6)
+
+
+def test_block_info_structure():
+    res = rm.inflate_raw(rm.deflate_raw(RAW[:300000]))
+    assert len(res.blocks) == 3
+    assert res.blocks[-1].bfinal
+    assert sum(b.out_len for b in res.blocks) == 300000
