@@ -10,10 +10,14 @@ from ..spec import refmodel as _rm
 
 def _tpu_modules():
     try:
-        from . import deflate_pipeline, inflate_pipeline  # noqa: F401
-        return deflate_pipeline, inflate_pipeline
+        from . import deflate_pipeline
     except ImportError:
-        return None, None
+        deflate_pipeline = None
+    try:
+        from . import inflate_pipeline
+    except ImportError:
+        inflate_pipeline = None
+    return deflate_pipeline, inflate_pipeline
 
 
 def deflate(data: bytes, *, backend: str = "auto", block_size: int | None = None) -> bytes:

@@ -1,0 +1,353 @@
+"""TPU inflate pipeline: host structure parse + device payload decode.
+
+Two decode strategies (SURVEY.md §2 "Block-parallel inflate"):
+
+  * **Indexed** (``index=`` a StreamIndex from our own encoder): every
+    ~4 KiB anchor chunk of every block decodes simultaneously as a vector
+    lane of a batched device dispatch, then one global parallel LZ-resolve
+    pass builds the output — the high-throughput path.
+  * **Scan** (foreign streams, e.g. CPython zlib output): block boundaries
+    are only discoverable by decoding, so blocks stream through the device
+    decoder one at a time (single-lane), then LZ resolution runs globally
+    (cross-block back-references are legal in foreign streams).
+
+Container framing, header parsing and table *construction* are host work
+(header-sized, not payload-sized); payload symbol decode, LZ resolution and
+Adler-32 all run on device.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import huffman
+from ..ops.adler32 import adler32_device
+from ..ops.inflate_kernel import decode_tokens, make_windows, resolve_global
+from ..spec import constants as C
+from ..spec.errors import (
+    BlockTypeError,
+    ChecksumError,
+    CorruptError,
+    HeaderError,
+    StoredBlockError,
+    TruncatedError,
+)
+from ..spec.refmodel import (
+    BitReader,
+    BlockInfo,
+    StreamIndex,
+    read_dynamic_code_lengths,
+)
+
+_FIXED_LITLEN_LENGTHS = C.fixed_litlen_code_lengths()
+_FIXED_DIST_LENGTHS = C.fixed_dist_code_lengths()
+
+# Batched path sizing: decode lanes per dispatch.
+_LANES = 1024
+_SCAN_CHUNK_TOKENS = 65536
+
+
+def _bucket(n: int, lo: int = 4096) -> int:
+    return max(lo, 1 << (max(n, 1) - 1).bit_length())
+
+
+class _Stream:
+    """Device-resident view of the compressed stream."""
+
+    def __init__(self, data: bytes):
+        w32, b = make_windows(data)
+        nb = _bucket(w32.size)
+        self.w32 = jnp.asarray(np.pad(w32, (0, nb - w32.size)))
+        self.bytes = jnp.asarray(np.pad(b, (0, nb + 8 - b.size)))
+        self.total_bits = len(data) * 8
+
+
+def _block_code_lengths(data: bytes, blk: BlockInfo):
+    """Host-parse a compressed block's header → (litlen, dist) code lengths."""
+    if blk.btype == C.BTYPE_FIXED:
+        return _FIXED_LITLEN_LENGTHS, _FIXED_DIST_LENGTHS
+    br = BitReader(data)
+    br.bitpos = blk.start_bit + 3
+    ll, dl = read_dynamic_code_lengths(br)
+    if blk.payload_start_bit and br.bitpos != blk.payload_start_bit:
+        raise CorruptError("index does not match stream")
+    return ll, dl
+
+
+def _decode_one_block(stream: _Stream, bitpos: int, ll_len, d_len):
+    """Scan-path decode of a single block's payload (one device lane)."""
+    M = max(1, int(np.max(ll_len)))
+    D = max(1, int(np.max(d_len)))
+    ll_tab = jnp.asarray(huffman.build_litlen_tables(np.asarray(ll_len)[None, :], M))
+    d_tab = jnp.asarray(huffman.build_dist_tables(np.asarray(d_len)[None, :], D))
+    vals, dists = [], []
+    bit = jnp.asarray([bitpos], jnp.int32)
+    end = jnp.asarray([stream.total_bits], jnp.int32)
+    row = jnp.zeros(1, jnp.int32)
+    active = jnp.asarray([True])
+    while True:
+        tv, td, cnt, bit, active, err = decode_tokens(
+            stream.w32, stream.bytes, ll_tab, d_tab, row, bit, end, active,
+            T=_SCAN_CHUNK_TOKENS, M=M, D=D,
+        )
+        if bool(err[0]):
+            raise CorruptError("invalid Huffman data in block payload")
+        n = int(cnt[0])
+        vals.append(np.asarray(tv[0, :n]))
+        dists.append(np.asarray(td[0, :n]))
+        if not bool(active[0]):
+            break
+    return np.concatenate(vals), np.concatenate(dists), int(bit[0])
+
+
+_RESOLVE_WINDOW = 1 << 22  # 4 MiB resolve windows (foreign streams)
+
+
+def _resolve_tokens_np(vals: np.ndarray, dists: np.ndarray) -> np.ndarray:
+    """Resolve one global token stream into output bytes (device).
+
+    Streams larger than one resolve dispatch are processed in 4 MiB output
+    windows with the previous 32 KiB (the max back-reference distance) as a
+    pre-resolved prefix halo.
+    """
+    lens = np.where(dists > 0, vals.astype(np.int64), 1)
+    total = int(lens.sum())
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    out = np.empty(total, dtype=np.uint8)
+    a = 0
+    while a < total:
+        b = min(total, a + _RESOLVE_WINDOW)
+        P = C.WINDOW_SIZE if a else 0
+        t0 = int(np.searchsorted(starts[1:], a, side="right"))
+        t1 = int(np.searchsorted(starts[:-1], b, side="left"))
+        n = t1 - t0
+        T = _bucket(max(n, 1), lo=1024)
+        tv = np.zeros(T, dtype=np.int32)
+        td = np.zeros(T, dtype=np.int32)
+        tv[:n] = vals[t0:t1]
+        td[:n] = dists[t0:t1]
+        out_base = P + int(starts[t0]) - a
+        O = _bucket(P + (b - a), lo=4096)
+        prefix = out[a - P : a] if P else np.zeros(0, dtype=np.uint8)
+        res, err = resolve_global(
+            jnp.asarray(tv[None, :]), jnp.asarray(td[None, :]),
+            jnp.asarray([n], jnp.int32), jnp.asarray([out_base], jnp.int32),
+            jnp.int32(P + (b - a)), jnp.asarray(prefix), O=O,
+        )
+        if bool(err):
+            raise CorruptError("back-reference before start of output")
+        out[a:b] = np.asarray(res[P : P + (b - a)])
+        a = b
+    return out
+
+
+def inflate_raw_scan(data: bytes, byte_offset: int = 0):
+    """Sequential-structure inflate of an arbitrary conformant stream.
+
+    Returns (output bytes ndarray, list[BlockInfo], end_bit).
+    """
+    stream = _Stream(data)
+    br = BitReader(data, byte_offset)
+    vals_parts: list[np.ndarray] = []
+    dists_parts: list[np.ndarray] = []
+    blocks: list[BlockInfo] = []
+    out_count = 0
+    while True:
+        start_bit = br.bitpos
+        try:
+            bfinal = br.read_bits(1)
+            btype = br.read_bits(2)
+        except TruncatedError:
+            raise TruncatedError("stream ended before final block")
+        if btype == C.BTYPE_STORED:
+            br.align_to_byte()
+            payload_start = br.bitpos
+            pos = br.bitpos >> 3
+            if pos + 4 > len(data):
+                raise TruncatedError("stored block header truncated")
+            length = data[pos] | (data[pos + 1] << 8)
+            nlen = data[pos + 2] | (data[pos + 3] << 8)
+            if length != (~nlen & 0xFFFF):
+                raise StoredBlockError("LEN/NLEN mismatch")
+            pos += 4
+            if pos + length > len(data):
+                raise TruncatedError("stored block data truncated")
+            raw = np.frombuffer(data, dtype=np.uint8, count=length, offset=pos)
+            vals_parts.append(raw.astype(np.int32))
+            dists_parts.append(np.zeros(length, dtype=np.int32))
+            br.bitpos = (pos + length) * 8
+            out_len = length
+        elif btype in (C.BTYPE_FIXED, C.BTYPE_DYNAMIC):
+            if btype == C.BTYPE_FIXED:
+                ll_len, d_len = _FIXED_LITLEN_LENGTHS, _FIXED_DIST_LENGTHS
+            else:
+                ll_len, d_len = read_dynamic_code_lengths(br)
+            payload_start = br.bitpos
+            vals, dists, endbit = _decode_one_block(stream, br.bitpos, ll_len, d_len)
+            vals_parts.append(vals)
+            dists_parts.append(dists)
+            br.bitpos = endbit
+            out_len = int(np.where(dists > 0, vals, 1).sum())
+        else:
+            raise BlockTypeError("reserved BTYPE 3")
+        blocks.append(
+            BlockInfo(
+                btype=btype, bfinal=bool(bfinal), start_bit=start_bit,
+                payload_start_bit=payload_start, end_bit=br.bitpos,
+                out_start=out_count, out_len=out_len,
+            )
+        )
+        out_count += out_len
+        if bfinal:
+            break
+    vals = np.concatenate(vals_parts) if vals_parts else np.zeros(0, np.int32)
+    dists = np.concatenate(dists_parts) if dists_parts else np.zeros(0, np.int32)
+    out = _resolve_tokens_np(vals, dists)
+    return out, blocks, br.bitpos
+
+
+def _index_lanes(index: StreamIndex):
+    """Flatten a StreamIndex into per-lane (bit0, end_bit, out_base, out_len,
+    block_id) arrays for the compressed blocks."""
+    na = index.anchor_bit.size
+    lane_bit0 = index.anchor_bit.astype(np.int64)
+    lane_block = index.anchor_block.astype(np.int64)
+    lane_out = index.anchor_out.astype(np.int64)
+    lane_end = np.empty(na, dtype=np.int64)
+    lane_outlen = np.empty(na, dtype=np.int64)
+    for i in range(na):
+        blk = index.blocks[int(lane_block[i])]
+        if i + 1 < na and lane_block[i + 1] == lane_block[i]:
+            lane_end[i] = lane_bit0[i + 1]
+            lane_outlen[i] = lane_out[i + 1] - lane_out[i]
+        else:
+            lane_end[i] = blk.end_bit
+            lane_outlen[i] = blk.out_start + blk.out_len - lane_out[i]
+    return lane_bit0, lane_end, lane_out, lane_outlen, lane_block
+
+
+def inflate_raw_indexed(data: bytes, index: StreamIndex) -> np.ndarray:
+    """Anchor-parallel inflate using a recorded stream layout.
+
+    Requires self-contained blocks (no back-references across block
+    boundaries) — guaranteed for streams produced by this framework and by
+    the reference encoder (SURVEY.md §2 C13 note).  Violations surface as
+    CorruptError (caller may fall back to the scan path).
+    """
+    stream = _Stream(data)
+    total_out = index.total_out
+    out = np.empty(total_out, dtype=np.uint8)
+    lane_bit0, lane_end, lane_out, lane_outlen, lane_block = _index_lanes(index)
+    nlanes = lane_bit0.size
+    max_span = int(lane_outlen.max(initial=1))
+    T = _bucket(max_span + 16, lo=512)
+
+    # group whole blocks into dispatches of ≤ _LANES lanes and ≤ 2^23-byte
+    # output span (the resolve-state pointer width)
+    max_span_bytes = (1 << 23) - C.BLOCK_MAX_BUFFER_LEN
+    groups: list[tuple[int, int]] = []  # (lane_start, lane_end_excl)
+    gstart = 0
+    i = 0
+    while i < nlanes:
+        j = i
+        while j < nlanes and lane_block[j] == lane_block[i]:
+            j += 1
+        span = int(lane_out[j - 1] + lane_outlen[j - 1] - lane_out[gstart])
+        if (j - gstart > _LANES or span > max_span_bytes) and i > gstart:
+            groups.append((gstart, i))
+            gstart = i
+        i = j
+    if gstart < nlanes:
+        groups.append((gstart, nlanes))
+
+    for g0, g1 in groups:
+        B = g1 - g0
+        Bp = _bucket(B, lo=64)
+        block_ids = sorted(set(int(b) for b in lane_block[g0:g1]))
+        row_of = {b: r for r, b in enumerate(block_ids)}
+        NB = _bucket(len(block_ids), lo=8)
+        ll_lens = np.zeros((len(block_ids), C.NUM_LITLEN_SYMBOLS), dtype=np.int64)
+        d_lens = np.zeros((len(block_ids), C.NUM_DIST_SYMBOLS), dtype=np.int64)
+        for b, r in row_of.items():
+            ll, dl = _block_code_lengths(data, index.blocks[b])
+            ll_lens[r, : ll.size] = ll
+            d_lens[r, : dl.size] = dl
+        M = max(1, int(ll_lens.max()))
+        D = max(1, int(d_lens.max()))
+        ll_tab = np.zeros((NB, 1 << M), dtype=np.int32)
+        d_tab = np.zeros((NB, 1 << D), dtype=np.int32)
+        ll_tab[: len(block_ids)] = huffman.build_litlen_tables(ll_lens, M)
+        d_tab[: len(block_ids)] = huffman.build_dist_tables(d_lens, D)
+
+        bit0 = np.zeros(Bp, np.int32)
+        endb = np.zeros(Bp, np.int32)
+        rows = np.zeros(Bp, np.int32)
+        active = np.zeros(Bp, bool)
+        bit0[:B] = lane_bit0[g0:g1]
+        endb[:B] = lane_end[g0:g1]
+        rows[:B] = [row_of[int(b)] for b in lane_block[g0:g1]]
+        active[:B] = True
+
+        tv, td, cnt, endpos, still, err = decode_tokens(
+            stream.w32, stream.bytes, jnp.asarray(ll_tab), jnp.asarray(d_tab),
+            jnp.asarray(rows), jnp.asarray(bit0), jnp.asarray(endb),
+            jnp.asarray(active), T=T, M=M, D=D,
+        )
+        if np.asarray(err)[:B].any() or np.asarray(still)[:B].any():
+            raise CorruptError("invalid Huffman data in indexed block")
+        endpos_np = np.asarray(endpos)[:B]
+        if not (endpos_np == lane_end[g0:g1]).all():
+            raise CorruptError("lane did not end at its anchor boundary")
+
+        # resolve this dispatch's output range
+        d_base = int(lane_out[g0])
+        d_total = int(lane_out[g1 - 1] + lane_outlen[g1 - 1]) - d_base
+        O = _bucket(d_total, lo=4096)
+        out_base = np.zeros(Bp, np.int32)
+        out_base[:B] = lane_out[g0:g1] - d_base
+        dev_out, rerr = resolve_global(
+            tv, td, cnt, jnp.asarray(out_base), jnp.int32(d_total),
+            jnp.zeros(0, jnp.uint8), O=O,
+        )
+        if bool(rerr):
+            raise CorruptError("back-reference escapes its block")
+        out[d_base : d_base + d_total] = np.asarray(dev_out[:d_total])
+
+    # stored blocks: straight host copies (byte-aligned payloads)
+    for b in index.blocks:
+        if b.btype == C.BTYPE_STORED and b.out_len:
+            pos = (b.payload_start_bit >> 3) + 4
+            out[b.out_start : b.out_start + b.out_len] = np.frombuffer(
+                data, np.uint8, count=b.out_len, offset=pos
+            )
+    return out
+
+
+def inflate(data: bytes, verify_checksum: bool = True, index=None) -> bytes:
+    """zlib-container inflate on the TPU pipeline."""
+    data = bytes(data)
+    if len(data) < 6:
+        raise TruncatedError("zlib stream shorter than minimal frame")
+    cmf, flg = data[0], data[1]
+    if cmf & 0x0F != C.ZLIB_CM_DEFLATE:
+        raise HeaderError("not compressed by deflate")
+    if (cmf >> 4) > 7:
+        raise HeaderError("invalid CINFO (window > 32 KiB)")
+    if (cmf * 256 + flg) % 31 != 0:
+        raise HeaderError("FCHECK failed")
+    if flg & 0x20:
+        raise HeaderError("preset dictionary (FDICT) not supported")
+    if index is not None:
+        out = inflate_raw_indexed(data, index)
+        end_bit = index.blocks[-1].end_bit
+    else:
+        out, _blocks, end_bit = inflate_raw_scan(data, byte_offset=2)
+    if verify_checksum:
+        trailer_pos = (end_bit + 7) >> 3
+        if trailer_pos + 4 > len(data):
+            raise TruncatedError("missing Adler-32 trailer")
+        expect = int.from_bytes(data[trailer_pos : trailer_pos + 4], "big")
+        actual = int(adler32_device(jnp.asarray(out), out.size))
+        if expect != actual:
+            raise ChecksumError(f"Adler-32 mismatch: {expect:#x} != {actual:#x}")
+    return out.tobytes()

@@ -251,8 +251,12 @@ def _decode_symbol(br: BitReader, table: DecodeTable) -> int:
     return sym
 
 
-def _read_dynamic_tables(br: BitReader) -> tuple[DecodeTable, DecodeTable, np.ndarray, np.ndarray]:
-    """Parse a dynamic block header (RFC 1951 §3.2.7) → decode tables."""
+def read_dynamic_code_lengths(br: BitReader) -> tuple[np.ndarray, np.ndarray]:
+    """Parse a dynamic block header (RFC 1951 §3.2.7) → code-length arrays.
+
+    Shared by the reference model and the TPU pipeline's host-side header
+    parser (headers are tiny; payload decode is the device's job).
+    """
     hlit = br.read_bits(5) + 257
     hdist = br.read_bits(5) + 1
     hclen = br.read_bits(4) + 4
@@ -282,14 +286,12 @@ def _read_dynamic_tables(br: BitReader) -> tuple[DecodeTable, DecodeTable, np.nd
             i += rep
     if i != hlit + hdist:
         raise CorruptError("code length RLE overran table size")
-    litlen_lengths = lengths[:hlit]
-    dist_lengths = lengths[hlit:]
-    return (
-        build_decode_table(litlen_lengths),
-        build_decode_table(dist_lengths),
-        litlen_lengths,
-        dist_lengths,
-    )
+    return lengths[:hlit], lengths[hlit:]
+
+
+def _read_dynamic_tables(br: BitReader) -> tuple[DecodeTable, DecodeTable]:
+    litlen_lengths, dist_lengths = read_dynamic_code_lengths(br)
+    return build_decode_table(litlen_lengths), build_decode_table(dist_lengths)
 
 
 @dataclass
@@ -310,6 +312,41 @@ class InflateResult:
     data: bytes
     blocks: list[BlockInfo] = field(default_factory=list)
     end_bit: int = 0
+
+
+@dataclass
+class StreamIndex:
+    """Seek/parallelism index for a DEFLATE stream (new capability; the
+    reference has no analog — SURVEY.md §5 'checkpoint/resume').
+
+    Anchors are (bit offset, output offset) pairs recorded at token
+    boundaries roughly every ``anchor_every`` output bytes; they are the
+    decode lanes of the TPU inflate path.  The first anchor of every
+    compressed block sits at its payload start.
+    """
+
+    blocks: list[BlockInfo]
+    anchor_bit: np.ndarray    # int64[NA] absolute bit offsets
+    anchor_out: np.ndarray    # int64[NA] absolute output offsets
+    anchor_block: np.ndarray  # int32[NA] owning block id
+
+    @property
+    def total_out(self) -> int:
+        return sum(b.out_len for b in self.blocks)
+
+    def shifted(self, bits: int) -> "StreamIndex":
+        """Same index with all bit offsets moved by ``bits`` (container header)."""
+        blocks = [
+            BlockInfo(
+                btype=b.btype, bfinal=b.bfinal, start_bit=b.start_bit + bits,
+                payload_start_bit=b.payload_start_bit + bits,
+                end_bit=b.end_bit + bits, out_start=b.out_start,
+                out_len=b.out_len,
+            )
+            for b in self.blocks
+        ]
+        return StreamIndex(blocks, self.anchor_bit + bits, self.anchor_out,
+                           self.anchor_block)
 
 
 def inflate_raw(data: bytes, byte_offset: int = 0) -> InflateResult:
@@ -341,7 +378,7 @@ def inflate_raw(data: bytes, byte_offset: int = 0) -> InflateResult:
             if btype == C.BTYPE_FIXED:
                 litlen_table, dist_table = _FIXED_LITLEN_TABLE, _FIXED_DIST_TABLE
             else:
-                litlen_table, dist_table, _, _ = _read_dynamic_tables(br)
+                litlen_table, dist_table = _read_dynamic_tables(br)
             payload_start = br.bitpos
             while True:
                 sym = _decode_symbol(br, litlen_table)
@@ -534,10 +571,18 @@ def _rle_code_lengths(lengths: np.ndarray) -> list[tuple[int, int]]:
 _RLE_EXTRA_BITS = {16: 2, 17: 3, 18: 7}
 
 
-def _write_dynamic_block(bw: BitWriter, tokens: list[tuple]) -> None:
+def _write_dynamic_block(
+    bw: BitWriter,
+    tokens: list[tuple],
+    anchor_every: int | None = None,
+    out_start: int = 0,
+) -> list[tuple[int, int]]:
     """Emit one dynamic-Huffman block body (header + coded payload).
 
     Reference analog: src/deflate.ts:56-227 (deflateDynamicBlock).
+    When ``anchor_every`` is set, returns (bit_offset, out_offset) anchors
+    sampled at token boundaries each time the output crosses a multiple of
+    ``anchor_every`` bytes (the first anchor is the payload start).
     """
     # --- symbol streams + histograms
     litlen_freq = np.zeros(C.NUM_LITLEN_SYMBOLS, dtype=np.int64)
@@ -587,10 +632,17 @@ def _write_dynamic_block(bw: BitWriter, tokens: list[tuple]) -> None:
             bw.write_bits(extra, _RLE_EXTRA_BITS[sym])
 
     # --- payload
+    anchors: list[tuple[int, int]] = [(bw.bit_length, out_start)]
+    out_off = out_start
+    next_anchor = out_start + anchor_every if anchor_every else None
     for t in tokens:
+        if anchor_every and out_off >= next_anchor:
+            anchors.append((bw.bit_length, out_off))
+            next_anchor = out_off + anchor_every
         if len(t) == 1:
             sym = t[0]
             bw.write_code(int(litlen_codes[sym]), int(litlen_lengths[sym]))
+            out_off += 1
         else:
             length, dist = t
             lsym = int(C.LENGTH_TO_SYMBOL[length])
@@ -599,31 +651,74 @@ def _write_dynamic_block(bw: BitWriter, tokens: list[tuple]) -> None:
             dsym = int(C.DIST_TO_SYMBOL[dist])
             bw.write_code(int(dist_codes[dsym]), int(dist_lengths[dsym]))
             bw.write_bits(int(C.DIST_TO_EXTRA[dist]), int(C.DIST_EXTRA_BITS[dsym]))
+            out_off += length
     bw.write_code(int(litlen_codes[C.END_OF_BLOCK]), int(litlen_lengths[C.END_OF_BLOCK]))
+    return anchors
 
 
-def deflate_raw(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN) -> bytes:
-    """Encode a raw DEFLATE stream of dynamic blocks (analog src/deflate.ts)."""
+def deflate_raw(
+    data: bytes,
+    block_size: int = C.BLOCK_MAX_BUFFER_LEN,
+    with_index: bool = False,
+    anchor_every: int = 4096,
+):
+    """Encode a raw DEFLATE stream of dynamic blocks (analog src/deflate.ts).
+
+    With ``with_index`` also returns the StreamIndex (block layout + decode
+    anchors) that powers block-parallel inflate.
+    """
     arr = np.frombuffer(bytes(data), dtype=np.uint8)
     bw = BitWriter()
     nblocks = max(1, -(-arr.size // block_size))
+    blocks: list[BlockInfo] = []
+    anchors: list[tuple[int, int, int]] = []
     for bi in range(nblocks):
         block = arr[bi * block_size : (bi + 1) * block_size]
         bfinal = 1 if bi == nblocks - 1 else 0
+        start_bit = bw.bit_length
+        out_start = bi * block_size
         bw.write_bits(bfinal, 1)
         if block.size == 0:
             # empty input: emit an empty stored block
             bw.write_bits(C.BTYPE_STORED, 2)
             bw.align_to_byte()
+            payload_start = bw.bit_length
             bw.out += b"\x00\x00\xff\xff"
+            blocks.append(BlockInfo(C.BTYPE_STORED, bool(bfinal), start_bit,
+                                    payload_start, bw.bit_length, out_start, 0))
             continue
         bw.write_bits(C.BTYPE_DYNAMIC, 2)
-        _write_dynamic_block(bw, lz77_greedy(block))
-    return bw.getvalue()
+        blk_anchors = _write_dynamic_block(
+            bw, lz77_greedy(block),
+            anchor_every=anchor_every if with_index else None,
+            out_start=out_start,
+        )
+        blocks.append(BlockInfo(C.BTYPE_DYNAMIC, bool(bfinal), start_bit,
+                                blk_anchors[0][0], bw.bit_length, out_start,
+                                block.size))
+        anchors.extend((ab, ao, bi) for ab, ao in blk_anchors)
+    body = bw.getvalue()
+    if not with_index:
+        return body
+    index = StreamIndex(
+        blocks=blocks,
+        anchor_bit=np.array([a[0] for a in anchors], dtype=np.int64),
+        anchor_out=np.array([a[1] for a in anchors], dtype=np.int64),
+        anchor_block=np.array([a[2] for a in anchors], dtype=np.int32),
+    )
+    return body, index
 
 
-def deflate(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN) -> bytes:
+def deflate(
+    data: bytes,
+    block_size: int = C.BLOCK_MAX_BUFFER_LEN,
+    with_index: bool = False,
+    anchor_every: int = 4096,
+):
     """zlib-container deflate (reference analog src/zlib.ts:25-49)."""
-    body = deflate_raw(data, block_size)
     trailer = adler32(data).to_bytes(4, "big")
+    if with_index:
+        body, index = deflate_raw(data, block_size, True, anchor_every)
+        return C.ZLIB_HEADER + body + trailer, index.shifted(16)
+    body = deflate_raw(data, block_size)
     return C.ZLIB_HEADER + body + trailer
