@@ -11,8 +11,17 @@ Public API (reference analog src/zlib.ts:11,25):
     inflate(data) -> bytes
 """
 
-from .codec.api import deflate, inflate  # noqa: F401
+from .codec.api import (  # noqa: F401
+    deflate,
+    deflate_indexed,
+    inflate,
+    inflate_to_device,
+)
 from .spec import constants, errors  # noqa: F401
+from .spec.refmodel import StreamIndex  # noqa: F401
 
 __version__ = "0.1.0"
-__all__ = ["deflate", "inflate", "constants", "errors"]
+__all__ = [
+    "deflate", "deflate_indexed", "inflate", "inflate_to_device",
+    "StreamIndex", "constants", "errors",
+]

@@ -1,11 +1,17 @@
-"""Public two-function API (reference analog src/zlib.ts:11,25).
-
-Dispatches between the TPU pipeline (default when a jax backend is usable)
-and the pure-NumPy reference model (always available, ``backend="refmodel"``).
+"""Public API (reference analog src/zlib.ts:11,25 — two functions), plus
+the TPU-native extensions: indexed streams and device-resident output.
 """
 from __future__ import annotations
 
 from ..spec import refmodel as _rm
+
+
+_BACKENDS = ("auto", "tpu", "refmodel")
+
+
+def _check_backend(backend: str) -> None:
+    if backend not in _BACKENDS:
+        raise ValueError(f"unknown backend {backend!r}; expected one of {_BACKENDS}")
 
 
 def _tpu_modules():
@@ -22,22 +28,63 @@ def _tpu_modules():
 
 def deflate(data: bytes, *, backend: str = "auto", block_size: int | None = None) -> bytes:
     """Compress ``data`` into a zlib stream (header 0x78 0x9C + Adler-32)."""
+    _check_backend(backend)
     kw = {"block_size": block_size} if block_size else {}
     if backend != "refmodel":
         dp, _ = _tpu_modules()
         if dp is not None:
             return dp.deflate(bytes(data), **kw)
-        if backend != "auto":
-            raise ValueError(f"unknown backend {backend!r}")
+        if backend == "tpu":
+            raise RuntimeError("TPU pipeline unavailable")
     return _rm.deflate(bytes(data), **kw)
 
 
-def inflate(data: bytes, *, backend: str = "auto", verify_checksum: bool = True) -> bytes:
-    """Decompress a zlib stream, verifying the Adler-32 trailer."""
+def deflate_indexed(data: bytes, *, backend: str = "auto",
+                    block_size: int | None = None):
+    """Compress and return (zlib_bytes, StreamIndex).
+
+    The index (block layout + ~4 KiB decode anchors) unlocks
+    anchor-parallel ``inflate(..., index=)`` and seekable access.  The
+    stream itself is plain conformant zlib — the index is a sidecar.
+    """
+    _check_backend(backend)
+    kw = {"block_size": block_size} if block_size else {}
+    if backend != "refmodel":
+        dp, _ = _tpu_modules()
+        if dp is not None:
+            return dp.deflate(bytes(data), with_index=True, **kw)
+        if backend == "tpu":
+            raise RuntimeError("TPU pipeline unavailable")
+    return _rm.deflate(bytes(data), with_index=True, **kw)
+
+
+def inflate(data: bytes, *, backend: str = "auto", verify_checksum: bool = True,
+            index=None) -> bytes:
+    """Decompress a zlib stream, verifying the Adler-32 trailer.
+
+    ``index=`` (a StreamIndex) selects the block/anchor-parallel device
+    path; without it, foreign streams decode via the sequential-structure
+    scan path.
+    """
+    _check_backend(backend)
     if backend != "refmodel":
         _, ip = _tpu_modules()
         if ip is not None:
-            return ip.inflate(bytes(data), verify_checksum=verify_checksum)
-        if backend != "auto":
-            raise ValueError(f"unknown backend {backend!r}")
+            return ip.inflate(bytes(data), verify_checksum=verify_checksum,
+                              index=index)
+        if backend == "tpu":
+            raise RuntimeError("TPU pipeline unavailable")
     return _rm.inflate(bytes(data), verify_checksum=verify_checksum)
+
+
+def inflate_to_device(data: bytes, index):
+    """Decompress straight into device memory (no device→host transfer).
+
+    Returns a list of (device_array, out_offset, nbytes) spans covering the
+    output.  This is the TPU-native consumption path — e.g. decompressing
+    dataset shards directly into HBM for training input pipelines.
+    """
+    _, ip = _tpu_modules()
+    if ip is None:
+        raise RuntimeError("TPU pipeline unavailable")
+    return ip.inflate_to_device(bytes(data), index)

@@ -1,0 +1,354 @@
+"""TPU deflate pipeline: device match-find/select/pack + host entropy setup.
+
+Block-data-parallel encode (SURVEY.md §2 "Block-parallel deflate"):
+input splits into ≤128 KiB blocks; per dispatch a batch of blocks runs
+
+  device: sort-based match finding → segment-lane greedy/lazy selection
+          → symbol mapping + per-block histograms
+  host:   package-merge code lengths, RLE, header bits, per-block
+          stored/fixed/dynamic choice (header-sized work)
+  device: payload bit-pack (scan + word scatter), compacted download
+  host:   splice blocks byte-aligned (each non-final compressed block is
+          followed by an empty stored "sync" block, so every block starts
+          on a byte boundary — ~5 bytes per 128 KiB), container framing
+
+The encoder always returns a StreamIndex (blocks + 4 KiB anchors) — the
+fuel for anchor-parallel inflate.  Emitted streams are self-contained per
+block and decodable by canonical zlib.
+
+Improvements over the reference encoder (allowed by the capability
+contract): lazy matching, per-block stored/fixed/dynamic choice
+(the reference always emits dynamic blocks and its stored-block writer is
+dead code, src/deflate.ts:41-54), correct tiny-input handling.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import huffman, lz77
+from ..ops.adler32 import adler32_device
+from ..ops.deflate_kernel import gather_compressed, pack_payload, token_symbols
+from ..ops.lz77 import SEG, find_matches, select_tokens
+from ..spec import constants as C
+from ..spec.refmodel import BitWriter, BlockInfo, StreamIndex, _rle_code_lengths
+
+_RLE_EXTRA_BITS = {16: 2, 17: 3, 18: 7}
+_BLOCKS_PER_DISPATCH = 16
+_FIXED_LL_LEN = C.fixed_litlen_code_lengths()
+_FIXED_D_LEN = C.fixed_dist_code_lengths()
+
+
+def _bucket(n: int, lo: int = 1) -> int:
+    return max(lo, 1 << (max(n, 1) - 1).bit_length())
+
+
+def package_merge_np(freqs: np.ndarray, max_len: int) -> np.ndarray:
+    """Length-limited Huffman lengths via matrix-form package-merge.
+
+    Same algorithm as spec.refmodel.package_merge_lengths but with package
+    membership tracked as count vectors (rows), so each merge round is a
+    couple of NumPy array ops instead of tuple concatenations.
+    """
+    freqs = np.asarray(freqs, dtype=np.int64)
+    S = freqs.size
+    lengths = np.zeros(S, dtype=np.int32)
+    active = np.nonzero(freqs)[0]
+    n = active.size
+    if n == 0:
+        return lengths
+    if n == 1:
+        lengths[active[0]] = 1
+        return lengths
+    order = np.argsort(freqs[active], kind="stable")
+    sw = freqs[active][order]
+    sm = np.eye(n, dtype=np.int32)[order]
+    mw, mm = sw, sm
+    for _ in range(max_len - 1):
+        k = (mw.size // 2) * 2
+        pw = mw[0:k:2] + mw[1:k:2]
+        pm = mm[0:k:2] + mm[1:k:2]
+        mw = np.concatenate([sw, pw])
+        mm = np.concatenate([sm, pm])
+        o = np.argsort(mw, kind="stable")
+        mw, mm = mw[o], mm[o]
+    sel = mm[: 2 * n - 2].sum(axis=0)
+    lengths[active] = sel
+    return lengths
+
+
+def _encode_tables(ll_len: np.ndarray, d_len: np.ndarray):
+    """Canonical codes (bit-reversed, ready for LSB-first packing)."""
+    codes_ll = huffman.canonical_codes_batch(ll_len[None, :])[0]
+    codes_d = huffman.canonical_codes_batch(d_len[None, :])[0]
+    rev = huffman._REV16
+    ll_code = np.where(
+        ll_len > 0, rev[codes_ll.astype(np.uint32)] >> (16 - np.maximum(ll_len, 1)), 0
+    ).astype(np.uint32)
+    d_code = np.where(
+        d_len > 0, rev[codes_d.astype(np.uint32)] >> (16 - np.maximum(d_len, 1)), 0
+    ).astype(np.uint32)
+    return ll_code, d_code
+
+
+def _dynamic_header(ll_len: np.ndarray, d_len: np.ndarray, bfinal: int) -> bytes | tuple:
+    """Build a dynamic block header bit-string (incl. 3-bit block prefix).
+
+    Returns (bits_as_bytes, nbits).  Reference analog: the HLIT/HDIST/HCLEN
+    emission at src/deflate.ts:151-181, rebuilt from RFC 1951 §3.2.7.
+    """
+    bw = BitWriter()
+    bw.write_bits(bfinal, 1)
+    bw.write_bits(C.BTYPE_DYNAMIC, 2)
+    hlit = max(257, int(np.nonzero(ll_len)[0].max(initial=256)) + 1)
+    hdist = max(1, int(np.nonzero(d_len)[0].max(initial=0)) + 1)
+    all_lengths = np.concatenate([ll_len[:hlit], d_len[:hdist]])
+    rle = _rle_code_lengths(all_lengths)
+    clc_freq = np.zeros(C.NUM_CODELEN_SYMBOLS, dtype=np.int64)
+    for sym, _ in rle:
+        clc_freq[sym] += 1
+    clc_len = package_merge_np(clc_freq, C.MAX_CLC_BITS)
+    clc_codes = huffman.canonical_codes_batch(clc_len[None, :].astype(np.int64))[0]
+    hclen = 19
+    while hclen > 4 and clc_len[int(C.CODELEN_ORDER[hclen - 1])] == 0:
+        hclen -= 1
+    bw.write_bits(hlit - 257, 5)
+    bw.write_bits(hdist - 1, 5)
+    bw.write_bits(hclen - 4, 4)
+    for i in range(hclen):
+        bw.write_bits(int(clc_len[int(C.CODELEN_ORDER[i])]), 3)
+    for sym, extra in rle:
+        bw.write_code(int(clc_codes[sym]), int(clc_len[sym]))
+        if sym in _RLE_EXTRA_BITS:
+            bw.write_bits(extra, _RLE_EXTRA_BITS[sym])
+    nbits = bw.bit_length
+    return bytes(bw.out) + (bytes([bw.bitbuf]) if bw.bitcnt else b""), nbits
+
+
+def _payload_bits(ll_freq, d_freq, ll_len, d_len) -> int:
+    """Exact coded payload size (tokens only, EOB excluded)."""
+    bits = int((ll_freq * ll_len).sum()) + int((d_freq * d_len).sum())
+    lf = ll_freq[257:286]
+    bits += int((lf * C.LENGTH_EXTRA_BITS[: lf.size]).sum())
+    df = d_freq[:30]
+    bits += int((df * C.DIST_EXTRA_BITS[: df.size]).sum())
+    return bits
+
+
+def _or_bits(buf: np.ndarray, bit_off: int, value: int, nbits: int) -> None:
+    """OR an LSB-first bit-string into a byte buffer at a bit offset."""
+    v = value << (bit_off & 7)
+    pos = bit_off >> 3
+    nbytes = (nbits + (bit_off & 7) + 7) // 8
+    for i in range(nbytes):
+        buf[pos + i] |= (v >> (8 * i)) & 0xFF
+
+
+class _BlockPlan:
+    __slots__ = ("btype", "raw", "hdr_bytes", "hdr_bits", "ll_code", "ll_len",
+                 "d_code", "d_len", "eob_code", "eob_len", "bfinal")
+
+
+def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN):
+    """Encode a raw DEFLATE stream on device.  Returns (bytes, StreamIndex)."""
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    n = arr.size
+    if n == 0:
+        body = b"\x01\x00\x00\xff\xff"
+        blocks = [BlockInfo(C.BTYPE_STORED, True, 0, 8, 40, 0, 0)]
+        return body, StreamIndex(blocks, np.zeros(0, np.int64),
+                                 np.zeros(0, np.int64), np.zeros(0, np.int32))
+    N = block_size
+    nblocks = -(-n // N)
+    nseg = -(-N // SEG)
+
+    out_parts: list[bytes] = []
+    blocks: list[BlockInfo] = []
+    anchor_bit: list[int] = []
+    anchor_out: list[int] = []
+    anchor_block: list[int] = []
+    stream_bit = 0  # always byte-aligned at block starts
+
+    for d0 in range(0, nblocks, _BLOCKS_PER_DISPATCH):
+        d1 = min(nblocks, d0 + _BLOCKS_PER_DISPATCH)
+        B = d1 - d0
+        Bp = _bucket(B)
+        blk_bytes = np.zeros((Bp, N + 8), dtype=np.uint8)
+        n_valid = np.zeros(Bp, dtype=np.int32)
+        for i, bi in enumerate(range(d0, d1)):
+            chunk = arr[bi * N : (bi + 1) * N]
+            blk_bytes[i, : chunk.size] = chunk
+            n_valid[i] = chunk.size
+
+        dev_bytes = jnp.asarray(blk_bytes)
+        dev_nv = jnp.asarray(n_valid)
+        matches = find_matches(dev_bytes, dev_nv, N=N)
+        tv, td, cnt = select_tokens(dev_bytes, matches, dev_nv, N=N)
+        lsym, dsym, valid, ll_freq, d_freq = token_symbols(tv, td, cnt, nseg=nseg)
+        ll_freq_np = np.asarray(ll_freq)
+        d_freq_np = np.asarray(d_freq)
+
+        # --- host: per-block coding decision + tables
+        plans: list[_BlockPlan] = []
+        ll_code_arr = np.zeros((Bp, C.NUM_LITLEN_SYMBOLS), np.uint32)
+        ll_len_arr = np.zeros((Bp, C.NUM_LITLEN_SYMBOLS), np.int32)
+        d_code_arr = np.zeros((Bp, C.NUM_DIST_SYMBOLS), np.uint32)
+        d_len_arr = np.zeros((Bp, C.NUM_DIST_SYMBOLS), np.int32)
+        hdr_bits_arr = np.zeros(Bp, np.int32)
+        enabled = np.zeros(Bp, bool)
+        for i in range(B):
+            bi = d0 + i
+            bfinal = 1 if bi == nblocks - 1 else 0
+            nb = int(n_valid[i])
+            llf = ll_freq_np[i].astype(np.int64)
+            llf[C.END_OF_BLOCK] += 1
+            dfq = d_freq_np[i].astype(np.int64)
+            ll_len = package_merge_np(llf, C.MAX_CODELEN_BITS)
+            d_len = package_merge_np(dfq, C.MAX_CODELEN_BITS)
+            if d_len.max(initial=0) == 0:
+                d_len[0] = 1
+            hdr, hdr_nbits = _dynamic_header(ll_len, d_len, bfinal)
+            dyn_bits = hdr_nbits + _payload_bits(llf, dfq, ll_len, d_len) \
+                + int(ll_len[C.END_OF_BLOCK])
+            fix_bits = 3 + _payload_bits(llf, dfq, _FIXED_LL_LEN, _FIXED_D_LEN) \
+                + int(_FIXED_LL_LEN[C.END_OF_BLOCK])
+            stored_bytes = nb + 5 * (-(-nb // 65535))
+            plan = _BlockPlan()
+            plan.bfinal = bfinal
+            if stored_bytes < min(dyn_bits, fix_bits) // 8:
+                plan.btype = C.BTYPE_STORED
+                plan.raw = arr[bi * N : bi * N + nb]
+            elif fix_bits <= dyn_bits:
+                plan.btype = C.BTYPE_FIXED
+                plan.hdr_bytes = bytes([bfinal | (C.BTYPE_FIXED << 1)])
+                plan.hdr_bits = 3
+                plan.ll_len, plan.d_len = _FIXED_LL_LEN, _FIXED_D_LEN
+            else:
+                plan.btype = C.BTYPE_DYNAMIC
+                plan.hdr_bytes = hdr
+                plan.hdr_bits = hdr_nbits
+                plan.ll_len, plan.d_len = ll_len, d_len
+            if plan.btype != C.BTYPE_STORED:
+                plan.ll_code, plan.d_code = _encode_tables(plan.ll_len, plan.d_len)
+                plan.eob_code = int(plan.ll_code[C.END_OF_BLOCK])
+                plan.eob_len = int(plan.ll_len[C.END_OF_BLOCK])
+                ll_code_arr[i] = plan.ll_code
+                ll_len_arr[i] = plan.ll_len
+                d_code_arr[i] = plan.d_code
+                d_len_arr[i] = plan.d_len
+                hdr_bits_arr[i] = plan.hdr_bits
+                enabled[i] = True
+            plans.append(plan)
+
+        # --- device: payload packing
+        W = (15 * N + 4096) // 32
+        words, payload_end, lane_bit0 = pack_payload(
+            tv, td, lsym, dsym, valid,
+            jnp.asarray(ll_code_arr), jnp.asarray(ll_len_arr),
+            jnp.asarray(d_code_arr), jnp.asarray(d_len_arr),
+            jnp.asarray(hdr_bits_arr), jnp.asarray(enabled),
+            nseg=nseg, W=W,
+        )
+        payload_end_np = np.asarray(payload_end)
+        lane_bit0_np = np.asarray(lane_bit0)
+
+        # compacted download of used words only
+        used_words = np.zeros(B, np.int64)
+        for i in range(B):
+            if plans[i].btype != C.BTYPE_STORED:
+                used_words[i] = (int(payload_end_np[i]) + plans[i].eob_len + 31) // 32 + 1
+        idx_parts = [np.arange(used_words[i], dtype=np.int64) + i * W
+                     for i in range(B)]
+        if idx_parts and sum(u.size for u in idx_parts):
+            flat_idx = np.concatenate(idx_parts)
+            dense = np.asarray(gather_compressed(
+                words.reshape(-1), jnp.asarray(flat_idx.astype(np.int32))))
+        else:
+            dense = np.zeros(0, np.uint32)
+        offs = np.concatenate([[0], np.cumsum(used_words)]).astype(np.int64)
+
+        # --- host: splice blocks
+        for i in range(B):
+            bi = d0 + i
+            plan = plans[i]
+            nb = int(n_valid[i])
+            out_start = bi * N
+            if plan.btype == C.BTYPE_STORED:
+                pos = 0
+                raw = plan.raw
+                while True:
+                    chunk = raw[pos : pos + 65535]
+                    last_chunk = pos + 65535 >= raw.size
+                    bf = plan.bfinal if last_chunk else 0
+                    start_bit = stream_bit
+                    hdrb = bytes([bf])  # BTYPE=00 in bits 1-2, pad to byte
+                    ln = chunk.size
+                    part = hdrb + ln.to_bytes(2, "little") + \
+                        (~ln & 0xFFFF).to_bytes(2, "little") + chunk.tobytes()
+                    out_parts.append(part)
+                    blocks.append(BlockInfo(
+                        C.BTYPE_STORED, bool(bf), start_bit,
+                        start_bit + 8, stream_bit + len(part) * 8,
+                        out_start + pos, ln))
+                    stream_bit += len(part) * 8
+                    pos += 65535
+                    if last_chunk:
+                        break
+                continue
+            w0, w1 = int(offs[i]), int(offs[i + 1])
+            buf = dense[w0:w1].view(np.uint8).copy()
+            end_bits = int(payload_end_np[i])
+            # OR the header bits in (device left [0, hdr_bits) untouched)
+            hb = np.frombuffer(plan.hdr_bytes, dtype=np.uint8)
+            buf[: hb.size - 1] |= hb[:-1]
+            if hb.size:
+                buf[hb.size - 1] |= hb[-1]
+            # EOB
+            _or_bits(buf, end_bits, plan.eob_code, plan.eob_len)
+            end_bits += plan.eob_len
+            start_bit = stream_bit
+            blocks.append(BlockInfo(
+                plan.btype, bool(plan.bfinal), start_bit,
+                start_bit + plan.hdr_bits, start_bit + end_bits,
+                out_start, nb))
+            # anchors for this block's segment lanes
+            for s in range(-(-nb // SEG)):
+                anchor_bit.append(start_bit + int(lane_bit0_np[i * nseg + s]))
+                anchor_out.append(out_start + s * SEG)
+                anchor_block.append(len(blocks) - 1)
+            if plan.bfinal:
+                nbytes = (end_bits + 7) // 8
+                out_parts.append(buf[:nbytes].tobytes())
+                stream_bit += nbytes * 8
+            else:
+                # empty stored sync block → next block starts byte-aligned
+                sync_start = end_bits  # 3 zero bits then pad
+                nbytes = (end_bits + 3 + 7) // 8
+                part = buf[:nbytes].tobytes() + b"\x00\x00\xff\xff"
+                out_parts.append(part)
+                blocks.append(BlockInfo(
+                    C.BTYPE_STORED, False, start_bit + sync_start,
+                    start_bit + nbytes * 8,
+                    stream_bit + len(part) * 8, out_start + nb, 0))
+                stream_bit += len(part) * 8
+
+    body = b"".join(out_parts)
+    index = StreamIndex(
+        blocks,
+        np.asarray(anchor_bit, np.int64),
+        np.asarray(anchor_out, np.int64),
+        np.asarray(anchor_block, np.int32),
+    )
+    return body, index
+
+
+def deflate(data: bytes, block_size: int | None = None, with_index: bool = False):
+    """zlib-container deflate on the TPU pipeline."""
+    data = bytes(data)
+    body, index = deflate_raw_tpu(data, block_size or C.BLOCK_MAX_BUFFER_LEN)
+    arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
+    trailer = int(adler32_device(arr, len(data))).to_bytes(4, "big")
+    out = C.ZLIB_HEADER + body + trailer
+    if with_index:
+        return out, index.shifted(16)
+    return out

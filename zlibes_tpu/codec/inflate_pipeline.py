@@ -226,26 +226,25 @@ def _index_lanes(index: StreamIndex):
     return lane_bit0, lane_end, lane_out, lane_outlen, lane_block
 
 
-def inflate_raw_indexed(data: bytes, index: StreamIndex) -> np.ndarray:
-    """Anchor-parallel inflate using a recorded stream layout.
+class _GroupPlan:
+    """Host-prepared arguments for one indexed decode dispatch."""
 
-    Requires self-contained blocks (no back-references across block
-    boundaries) — guaranteed for streams produced by this framework and by
-    the reference encoder (SURVEY.md §2 C13 note).  Violations surface as
-    CorruptError (caller may fall back to the scan path).
-    """
-    stream = _Stream(data)
-    total_out = index.total_out
-    out = np.empty(total_out, dtype=np.uint8)
+    __slots__ = ("ll_tab", "d_tab", "rows", "bit0", "endb", "active",
+                 "out_base", "B", "M", "D", "T", "O", "d_base", "d_total",
+                 "lane_end")
+
+
+def plan_groups(data: bytes, index: StreamIndex) -> list[_GroupPlan]:
+    """Group anchor lanes into device dispatches (whole blocks per group,
+    ≤ _LANES lanes, ≤ 2^23-byte output span — the resolve pointer width)."""
     lane_bit0, lane_end, lane_out, lane_outlen, lane_block = _index_lanes(index)
     nlanes = lane_bit0.size
+    if nlanes == 0:
+        return []
     max_span = int(lane_outlen.max(initial=1))
     T = _bucket(max_span + 16, lo=512)
-
-    # group whole blocks into dispatches of ≤ _LANES lanes and ≤ 2^23-byte
-    # output span (the resolve-state pointer width)
     max_span_bytes = (1 << 23) - C.BLOCK_MAX_BUFFER_LEN
-    groups: list[tuple[int, int]] = []  # (lane_start, lane_end_excl)
+    groups: list[tuple[int, int]] = []
     gstart = 0
     i = 0
     while i < nlanes:
@@ -260,7 +259,9 @@ def inflate_raw_indexed(data: bytes, index: StreamIndex) -> np.ndarray:
     if gstart < nlanes:
         groups.append((gstart, nlanes))
 
+    plans = []
     for g0, g1 in groups:
+        p = _GroupPlan()
         B = g1 - g0
         Bp = _bucket(B, lo=64)
         block_ids = sorted(set(int(b) for b in lane_block[g0:g1]))
@@ -272,46 +273,67 @@ def inflate_raw_indexed(data: bytes, index: StreamIndex) -> np.ndarray:
             ll, dl = _block_code_lengths(data, index.blocks[b])
             ll_lens[r, : ll.size] = ll
             d_lens[r, : dl.size] = dl
-        M = max(1, int(ll_lens.max()))
-        D = max(1, int(d_lens.max()))
-        ll_tab = np.zeros((NB, 1 << M), dtype=np.int32)
-        d_tab = np.zeros((NB, 1 << D), dtype=np.int32)
-        ll_tab[: len(block_ids)] = huffman.build_litlen_tables(ll_lens, M)
-        d_tab[: len(block_ids)] = huffman.build_dist_tables(d_lens, D)
+        p.M = max(1, int(ll_lens.max()))
+        p.D = max(1, int(d_lens.max()))
+        ll_tab = np.zeros((NB, 1 << p.M), dtype=np.int32)
+        d_tab = np.zeros((NB, 1 << p.D), dtype=np.int32)
+        ll_tab[: len(block_ids)] = huffman.build_litlen_tables(ll_lens, p.M)
+        d_tab[: len(block_ids)] = huffman.build_dist_tables(d_lens, p.D)
+        p.ll_tab, p.d_tab = ll_tab, d_tab
+        p.bit0 = np.zeros(Bp, np.int32)
+        p.endb = np.zeros(Bp, np.int32)
+        p.rows = np.zeros(Bp, np.int32)
+        p.active = np.zeros(Bp, bool)
+        p.bit0[:B] = lane_bit0[g0:g1]
+        p.endb[:B] = lane_end[g0:g1]
+        p.rows[:B] = [row_of[int(b)] for b in lane_block[g0:g1]]
+        p.active[:B] = True
+        p.lane_end = lane_end[g0:g1]
+        p.B = B
+        p.T = T
+        p.d_base = int(lane_out[g0])
+        p.d_total = int(lane_out[g1 - 1] + lane_outlen[g1 - 1]) - p.d_base
+        p.O = _bucket(p.d_total, lo=4096)
+        p.out_base = np.zeros(Bp, np.int32)
+        p.out_base[:B] = lane_out[g0:g1] - p.d_base
+        plans.append(p)
+    return plans
 
-        bit0 = np.zeros(Bp, np.int32)
-        endb = np.zeros(Bp, np.int32)
-        rows = np.zeros(Bp, np.int32)
-        active = np.zeros(Bp, bool)
-        bit0[:B] = lane_bit0[g0:g1]
-        endb[:B] = lane_end[g0:g1]
-        rows[:B] = [row_of[int(b)] for b in lane_block[g0:g1]]
-        active[:B] = True
 
-        tv, td, cnt, endpos, still, err = decode_tokens(
-            stream.w32, stream.bytes, jnp.asarray(ll_tab), jnp.asarray(d_tab),
-            jnp.asarray(rows), jnp.asarray(bit0), jnp.asarray(endb),
-            jnp.asarray(active), T=T, M=M, D=D,
-        )
-        if np.asarray(err)[:B].any() or np.asarray(still)[:B].any():
+def run_group(stream: _Stream, p: _GroupPlan, check: bool = True):
+    """Dispatch one planned group; returns the device output array (O,)."""
+    tv, td, cnt, endpos, still, err = decode_tokens(
+        stream.w32, stream.bytes, jnp.asarray(p.ll_tab), jnp.asarray(p.d_tab),
+        jnp.asarray(p.rows), jnp.asarray(p.bit0), jnp.asarray(p.endb),
+        jnp.asarray(p.active), T=p.T, M=p.M, D=p.D,
+    )
+    if check:
+        if np.asarray(err)[: p.B].any() or np.asarray(still)[: p.B].any():
             raise CorruptError("invalid Huffman data in indexed block")
-        endpos_np = np.asarray(endpos)[:B]
-        if not (endpos_np == lane_end[g0:g1]).all():
+        if not (np.asarray(endpos)[: p.B] == p.lane_end).all():
             raise CorruptError("lane did not end at its anchor boundary")
+    dev_out, rerr = resolve_global(
+        tv, td, cnt, jnp.asarray(p.out_base), jnp.int32(p.d_total),
+        jnp.zeros(0, jnp.uint8), O=p.O,
+    )
+    if check and bool(rerr):
+        raise CorruptError("back-reference escapes its block")
+    return dev_out
 
-        # resolve this dispatch's output range
-        d_base = int(lane_out[g0])
-        d_total = int(lane_out[g1 - 1] + lane_outlen[g1 - 1]) - d_base
-        O = _bucket(d_total, lo=4096)
-        out_base = np.zeros(Bp, np.int32)
-        out_base[:B] = lane_out[g0:g1] - d_base
-        dev_out, rerr = resolve_global(
-            tv, td, cnt, jnp.asarray(out_base), jnp.int32(d_total),
-            jnp.zeros(0, jnp.uint8), O=O,
-        )
-        if bool(rerr):
-            raise CorruptError("back-reference escapes its block")
-        out[d_base : d_base + d_total] = np.asarray(dev_out[:d_total])
+
+def inflate_raw_indexed(data: bytes, index: StreamIndex) -> np.ndarray:
+    """Anchor-parallel inflate using a recorded stream layout.
+
+    Requires self-contained blocks (no back-references across block
+    boundaries) — guaranteed for streams produced by this framework and by
+    the reference encoder (SURVEY.md §2 C13 note).  Violations surface as
+    CorruptError (caller may fall back to the scan path).
+    """
+    stream = _Stream(data)
+    out = np.empty(index.total_out, dtype=np.uint8)
+    for p in plan_groups(data, index):
+        dev_out = run_group(stream, p)
+        out[p.d_base : p.d_base + p.d_total] = np.asarray(dev_out[: p.d_total])
 
     # stored blocks: straight host copies (byte-aligned payloads)
     for b in index.blocks:
@@ -321,6 +343,21 @@ def inflate_raw_indexed(data: bytes, index: StreamIndex) -> np.ndarray:
                 data, np.uint8, count=b.out_len, offset=pos
             )
     return out
+
+
+def inflate_to_device(data: bytes, index: StreamIndex):
+    """Decompress into device memory: returns (list of (device_array, base,
+    nbytes)) without any device→host transfer of payload data.
+
+    This is the TPU-native consumption path (e.g. decompressing dataset
+    shards straight into HBM); also the honest benchmark surface given
+    host↔device link bandwidth.
+    """
+    stream = _Stream(data)
+    outs = []
+    for p in plan_groups(data, index):
+        outs.append((run_group(stream, p, check=False), p.d_base, p.d_total))
+    return outs
 
 
 def inflate(data: bytes, verify_checksum: bool = True, index=None) -> bytes:

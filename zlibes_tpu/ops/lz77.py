@@ -1,0 +1,207 @@
+"""Vectorized LZ77 match finding + greedy/lazy token selection.
+
+Reference analog: the scalar hash-chain scan at src/lz77.ts:24-119 (exact
+3-byte keys, newest-first candidates, greedy emission).  TPU-native
+redesign, built around two measured facts of the hardware/XLA: dense ops
+and sorts are cheap, random element-gathers cost ~10 ns each.
+
+  * **Sort-based candidate discovery** (gather-free candidates): stable-sort
+    (key, pos) per block; the J nearest previous occurrences of a
+    position's key are its J predecessors in sorted order — *dense shifts*
+    of the sorted arrays, no chain-walking gathers.
+  * **Shared match-length probes**: gather S 32-bit windows per position
+    once (S gathers/position total), then compare against shifted rows for
+    every candidate at zero gather cost.  Match length = first XOR
+    mismatch, counted in trailing zero bytes.  Caps at 4S+3 bytes.
+  * **Run detection via scans**: dist-1 matches (the 258-byte RLE cases the
+    cap would miss) from a reverse-cummin constant-run scan, no gathers.
+  * **Segment-parallel greedy selection**: the left-to-right match/literal
+    choice is a sequential cursor walk, so it runs as a batched while_loop
+    over 4 KiB segment lanes (cursor resets at segment boundaries; matches
+    clamp at segment end — a <0.1% ratio cost that buys ~1000× lane
+    parallelism).  One-step lazy matching included (beats the reference's
+    pure greedy, config[3]).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..spec import constants as C
+
+# match-length probe words per position (cap = 4*S_WORDS + 3 bytes)
+S_WORDS = 16
+# sorted-order candidates examined per position
+J_CANDS = 16
+# greedy selection segment (decode anchors reuse this granularity)
+SEG = 4096
+
+
+def _trailing_eq_bytes(x: jax.Array) -> jax.Array:
+    """Number of trailing zero bytes of a uint32 XOR value (0..4)."""
+    b0 = (x & 0xFF) == 0
+    b1 = (x & 0xFFFF) == 0
+    b2 = (x & 0xFFFFFF) == 0
+    full = x == 0
+    return jnp.where(
+        full, 4, b0.astype(jnp.int32) + b1.astype(jnp.int32) + b2.astype(jnp.int32)
+    )
+
+
+@partial(jax.jit, static_argnames=("N", "S", "J"))
+def find_matches(
+    data: jax.Array,   # uint8 (B, N + 8) padded block bytes
+    n_valid: jax.Array,  # int32 (B,) true byte count per block
+    N: int,
+    S: int = S_WORDS,  # probe words (match length cap = 4*S + 3)
+    J: int = J_CANDS,  # sorted-order candidates per position
+):
+    """Best match per position: packed int32 ``(len << 16) | dist``.
+
+    len==0 where no match of ≥3 bytes exists.  Matches are intra-block
+    (self-contained blocks), ≤ 32 KiB back, and clamped to the block tail.
+    """
+    B = data.shape[0]
+    d32 = data.astype(jnp.uint32)
+    # little-endian 32-bit windows at every byte position
+    w32 = (
+        d32[:, :N]
+        | (d32[:, 1 : N + 1] << 8)
+        | (d32[:, 2 : N + 2] << 16)
+        | (d32[:, 3 : N + 3] << 24)
+    )
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
+    key = (w32 & 0xFFFFFF).astype(jnp.int32)
+    # invalidate tail keys (need 3 readable bytes) with unique sentinels
+    valid_key = pos + 3 <= n_valid[:, None]
+    key = jnp.where(valid_key, key, 0x1000000 + pos)
+
+    skey, spos = jax.lax.sort((key, pos), dimension=1, is_stable=True, num_keys=1)
+
+    # gather the S probe windows for every position, in sorted order
+    probes = []
+    for s in range(S):
+        idx = jnp.minimum(spos + 4 * s, N - 1)
+        probes.append(jnp.take_along_axis(w32, idx, axis=1))
+
+    limit = jnp.minimum(n_valid[:, None] - spos, C.MAX_MATCH)
+
+    best_ml = jnp.zeros((B, N), jnp.int32)
+    best_dist = jnp.zeros((B, N), jnp.int32)
+    for jj in range(1, J + 1):
+        cpos = jnp.pad(spos, ((0, 0), (jj, 0)))[:, :N]
+        ckey = jnp.pad(skey, ((0, 0), (jj, 0)), constant_values=-1)[:, :N]
+        dist = spos - cpos
+        ok = (ckey == skey) & (dist >= 1) & (dist <= C.WINDOW_SIZE)
+        ml = jnp.zeros((B, N), jnp.int32)
+        done = jnp.zeros((B, N), jnp.bool_)
+        for s in range(S):
+            a = probes[s]
+            b = jnp.pad(probes[s], ((0, 0), (jj, 0)))[:, :N]
+            t = _trailing_eq_bytes(a ^ b)
+            ml = ml + jnp.where(done, 0, t)
+            done = done | (t < 4)
+        ml = jnp.minimum(ml, limit)
+        ml = jnp.where(ok & (ml >= C.MIN_MATCH), ml, 0)
+        better = ml > best_ml
+        best_ml = jnp.where(better, ml, best_ml)
+        best_dist = jnp.where(better, dist, best_dist)
+
+    packed_sorted = (best_ml << 16) | best_dist
+    # scatter back to position order
+    packed = jnp.zeros((B, N), jnp.int32)
+    brow = jax.lax.broadcasted_iota(jnp.int32, (B, N), 0)
+    packed = packed.at[brow.reshape(-1), spos.reshape(-1)].set(
+        packed_sorted.reshape(-1)
+    )
+
+    # dist-1 runs (covers long RLE matches beyond the probe cap):
+    # clen[p] = length of the constant-byte run starting at p
+    eq = (data[:, :N] == data[:, 1 : N + 1]) & (pos + 1 < n_valid[:, None])
+    stop = jnp.where(eq, N, pos)  # first non-extending position ≥ p
+    z = jax.lax.associative_scan(jnp.minimum, stop, reverse=True, axis=1)
+    clen = z - pos + 1
+    run_ml = jnp.minimum(
+        jnp.minimum(jnp.pad(clen, ((0, 0), (1, 0)))[:, :N] - 1, C.MAX_MATCH),
+        n_valid[:, None] - pos,
+    )
+    run_ok = (run_ml >= C.MIN_MATCH) & (pos >= 1)
+    cur_ml = packed >> 16
+    use_run = run_ok & (run_ml > cur_ml)
+    packed = jnp.where(use_run, (run_ml << 16) | 1, packed)
+    return packed
+
+
+@partial(jax.jit, static_argnames=("N", "SEG_SIZE", "lazy"))
+def select_tokens(
+    data: jax.Array,     # uint8 (B, N + 8)
+    matches: jax.Array,  # int32 (B, N) packed (len<<16)|dist
+    n_valid: jax.Array,  # int32 (B,)
+    N: int,
+    SEG_SIZE: int = SEG,
+    lazy: bool = True,
+):
+    """Greedy(+lazy) tokenization over segment lanes.
+
+    Lane k of block b covers [k*SEG_SIZE, (k+1)*SEG_SIZE) of that block;
+    matches are clamped at segment end so each segment's token cover is
+    independent.  Returns (toks_val (L, T), toks_dist (L, T), count (L,))
+    with L = B * N/SEG_SIZE lanes, token j of lane l at column j.
+    """
+    B = matches.shape[0]
+    nseg = N // SEG_SIZE
+    L = B * nseg
+    T = SEG_SIZE
+
+    mflat = matches.reshape(-1)
+    dflat = data[:, :N].reshape(-1).astype(jnp.int32)
+
+    lane = jnp.arange(L, dtype=jnp.int32)
+    blk = lane // nseg
+    seg0 = blk * N + (lane % nseg) * SEG_SIZE
+    nv = n_valid[blk]
+    seg_end = jnp.minimum(seg0 + SEG_SIZE, blk * N + nv)
+
+    toks_val = jnp.zeros((T, L), jnp.int32)
+    toks_dist = jnp.zeros((T, L), jnp.int32)
+    count = jnp.zeros(L, jnp.int32)
+    cursor = seg0
+    active = seg0 < seg_end
+
+    def cond(state):
+        t, _c, active, _cnt, _tv, _td = state
+        return (t < T) & jnp.any(active)
+
+    def body(state):
+        t, c, active, count, toks_val, toks_dist = state
+        csafe = jnp.minimum(c, B * N - 1)
+        pb = mflat[csafe]
+        ml = pb >> 16
+        dist = pb & 0xFFFF
+        lit = dflat[csafe]
+        ml = jnp.minimum(ml, seg_end - c)  # clamp at segment end
+        use = ml >= C.MIN_MATCH
+        if lazy:
+            pb1 = mflat[jnp.minimum(csafe + 1, B * N - 1)]
+            ml1 = pb1 >> 16
+            defer = use & (ml < C.MAX_MATCH) & (ml1 > ml) & (c + 1 < seg_end)
+            use = use & ~defer
+        tv = jnp.where(use, ml, lit)
+        td = jnp.where(use, dist, 0)
+        adv = jnp.where(use, ml, 1)
+        emit = active
+        tv = jnp.where(emit, tv, 0)
+        td = jnp.where(emit, td, 0)
+        toks_val = jax.lax.dynamic_update_slice(toks_val, tv[None, :], (t, 0))
+        toks_dist = jax.lax.dynamic_update_slice(toks_dist, td[None, :], (t, 0))
+        count = count + emit.astype(jnp.int32)
+        c = jnp.where(active, c + adv, c)
+        active = active & (c < seg_end)
+        return (t + 1, c, active, count, toks_val, toks_dist)
+
+    state = (jnp.int32(0), cursor, active, count, toks_val, toks_dist)
+    _t, _c, _a, count, toks_val, toks_dist = jax.lax.while_loop(cond, body, state)
+    return toks_val.T, toks_dist.T, count
