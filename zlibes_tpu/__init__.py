@@ -11,6 +11,10 @@ Public API (reference analog src/zlib.ts:11,25):
     inflate(data) -> bytes
 """
 
+from .utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from .codec.api import (  # noqa: F401
     deflate,
     deflate_indexed,

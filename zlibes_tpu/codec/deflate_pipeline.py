@@ -172,7 +172,7 @@ def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN):
     for d0 in range(0, nblocks, _BLOCKS_PER_DISPATCH):
         d1 = min(nblocks, d0 + _BLOCKS_PER_DISPATCH)
         B = d1 - d0
-        Bp = _bucket(B)
+        Bp = _BLOCKS_PER_DISPATCH  # fixed batch → one compiled program set
         blk_bytes = np.zeros((Bp, N + 8), dtype=np.uint8)
         n_valid = np.zeros(Bp, dtype=np.int32)
         for i, bi in enumerate(range(d0, d1)):

@@ -76,8 +76,8 @@ def _block_code_lengths(data: bytes, blk: BlockInfo):
 
 def _decode_one_block(stream: _Stream, bitpos: int, ll_len, d_len):
     """Scan-path decode of a single block's payload (one device lane)."""
-    M = max(1, int(np.max(ll_len)))
-    D = max(1, int(np.max(d_len)))
+    M = C.MAX_CODELEN_BITS  # fixed width → one compiled program
+    D = C.MAX_CODELEN_BITS
     ll_tab = jnp.asarray(huffman.build_litlen_tables(np.asarray(ll_len)[None, :], M))
     d_tab = jnp.asarray(huffman.build_dist_tables(np.asarray(d_len)[None, :], D))
     vals, dists = [], []
@@ -273,8 +273,10 @@ def plan_groups(data: bytes, index: StreamIndex) -> list[_GroupPlan]:
             ll, dl = _block_code_lengths(data, index.blocks[b])
             ll_lens[r, : ll.size] = ll
             d_lens[r, : dl.size] = dl
-        p.M = max(1, int(ll_lens.max()))
-        p.D = max(1, int(d_lens.max()))
+        # fixed table widths → one compiled decode program for all streams
+        # (15 is the RFC cap; the (NB, 2^15) table gather cost is unchanged)
+        p.M = C.MAX_CODELEN_BITS
+        p.D = C.MAX_CODELEN_BITS
         ll_tab = np.zeros((NB, 1 << p.M), dtype=np.int32)
         d_tab = np.zeros((NB, 1 << p.D), dtype=np.int32)
         ll_tab[: len(block_ids)] = huffman.build_litlen_tables(ll_lens, p.M)
@@ -293,7 +295,8 @@ def plan_groups(data: bytes, index: StreamIndex) -> list[_GroupPlan]:
         p.T = T
         p.d_base = int(lane_out[g0])
         p.d_total = int(lane_out[g1 - 1] + lane_outlen[g1 - 1]) - p.d_base
-        p.O = _bucket(p.d_total, lo=4096)
+        # full-size groups always resolve at O=2^23 → one compiled program
+        p.O = (1 << 23) if len(groups) > 1 else _bucket(p.d_total, lo=4096)
         p.out_base = np.zeros(Bp, np.int32)
         p.out_base[:B] = lane_out[g0:g1] - p.d_base
         plans.append(p)
