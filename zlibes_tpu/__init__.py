@@ -16,6 +16,7 @@ from .utils.cache import enable_persistent_cache
 enable_persistent_cache()
 
 from .codec.api import (  # noqa: F401
+    build_index,
     deflate,
     deflate_indexed,
     inflate,
@@ -27,5 +28,5 @@ from .spec.refmodel import StreamIndex  # noqa: F401
 __version__ = "0.1.0"
 __all__ = [
     "deflate", "deflate_indexed", "inflate", "inflate_to_device",
-    "StreamIndex", "constants", "errors",
+    "build_index", "StreamIndex", "constants", "errors",
 ]

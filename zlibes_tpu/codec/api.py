@@ -88,3 +88,18 @@ def inflate_to_device(data: bytes, index):
     if ip is None:
         raise RuntimeError("TPU pipeline unavailable")
     return ip.inflate_to_device(bytes(data), index)
+
+
+def build_index(data: bytes, anchor_every: int = 4096):
+    """Scan any conformant zlib stream into a StreamIndex (block layout +
+    decode anchors) for subsequent anchor-parallel/seekable decodes —
+    rapidgzip-style two-pass for foreign streams.  Requires the native
+    runtime scanner.
+    """
+    from ..runtime import native
+    from ..spec import refmodel as _rm2
+
+    if not native.available():
+        raise RuntimeError("native runtime unavailable")
+    _, _, index, _, _ = native.scan(bytes(data), bit_offset=16)
+    return index

@@ -145,7 +145,19 @@ def inflate_raw_scan(data: bytes, byte_offset: int = 0):
     """Sequential-structure inflate of an arbitrary conformant stream.
 
     Returns (output bytes ndarray, list[BlockInfo], end_bit).
+
+    Uses the native C++ scanner when available (the structure pass is the
+    inherently bit-serial part; rapidgzip-style), resolving the token
+    stream on host; falls back to single-lane device decode otherwise.
     """
+    from ..runtime import native
+
+    if native.available():
+        toks_val, toks_dist, index, end_bit, out_len = native.scan(
+            data, bit_offset=byte_offset * 8)
+        out = native.resolve(toks_val, toks_dist, out_len)
+        return out, index.blocks, end_bit
+
     stream = _Stream(data)
     br = BitReader(data, byte_offset)
     vals_parts: list[np.ndarray] = []
@@ -236,8 +248,14 @@ class _GroupPlan:
 
 def plan_groups(data: bytes, index: StreamIndex) -> list[_GroupPlan]:
     """Group anchor lanes into device dispatches (whole blocks per group,
-    ≤ _LANES lanes, ≤ 2^23-byte output span — the resolve pointer width)."""
+    ≤ _LANES lanes, ≤ 2^23-byte output span — the resolve pointer width).
+
+    For non-self-contained (foreign) indexes, groups additionally split at
+    stored blocks so back-references never point into an unresolved gap —
+    stored content reaches later groups through the chained prefix.
+    """
     lane_bit0, lane_end, lane_out, lane_outlen, lane_block = _index_lanes(index)
+    split_at_stored = not getattr(index, "self_contained", True)
     nlanes = lane_bit0.size
     if nlanes == 0:
         return []
@@ -252,7 +270,9 @@ def plan_groups(data: bytes, index: StreamIndex) -> list[_GroupPlan]:
         while j < nlanes and lane_block[j] == lane_block[i]:
             j += 1
         span = int(lane_out[j - 1] + lane_outlen[j - 1] - lane_out[gstart])
-        if (j - gstart > _LANES or span > max_span_bytes) and i > gstart:
+        gap = (split_at_stored and i > gstart
+               and lane_block[i] != lane_block[i - 1] + 1)
+        if (j - gstart > _LANES or span > max_span_bytes or gap) and i > gstart:
             groups.append((gstart, i))
             gstart = i
         i = j
@@ -303,8 +323,15 @@ def plan_groups(data: bytes, index: StreamIndex) -> list[_GroupPlan]:
     return plans
 
 
-def run_group(stream: _Stream, p: _GroupPlan, check: bool = True):
-    """Dispatch one planned group; returns the device output array (O,)."""
+def run_group(stream: _Stream, p: _GroupPlan, check: bool = True,
+              prefix: np.ndarray | None = None):
+    """Dispatch one planned group; returns the device output array.
+
+    ``prefix``: the 32 KiB of output preceding this group, for streams
+    whose blocks are not self-contained (foreign indexed streams) — groups
+    then resolve in order, each seeded with the previous tail.  The
+    returned array has the prefix at [0, P); payload at [P, P+d_total).
+    """
     tv, td, cnt, endpos, still, err = decode_tokens(
         stream.w32, stream.bytes, jnp.asarray(p.ll_tab), jnp.asarray(p.d_tab),
         jnp.asarray(p.rows), jnp.asarray(p.bit0), jnp.asarray(p.endb),
@@ -315,12 +342,15 @@ def run_group(stream: _Stream, p: _GroupPlan, check: bool = True):
             raise CorruptError("invalid Huffman data in indexed block")
         if not (np.asarray(endpos)[: p.B] == p.lane_end).all():
             raise CorruptError("lane did not end at its anchor boundary")
+    P = 0 if prefix is None else prefix.size
+    out_base = p.out_base + P if P else p.out_base
     dev_out, rerr = resolve_global(
-        tv, td, cnt, jnp.asarray(p.out_base), jnp.int32(p.d_total),
-        jnp.zeros(0, jnp.uint8), O=p.O,
+        tv, td, cnt, jnp.asarray(out_base), jnp.int32(P + p.d_total),
+        jnp.zeros(0, jnp.uint8) if prefix is None else jnp.asarray(prefix),
+        O=p.O if not P else _bucket(P + p.d_total, lo=4096),
     )
     if check and bool(rerr):
-        raise CorruptError("back-reference escapes its block")
+        raise CorruptError("back-reference escapes its resolve span")
     return dev_out
 
 
@@ -334,17 +364,27 @@ def inflate_raw_indexed(data: bytes, index: StreamIndex) -> np.ndarray:
     """
     stream = _Stream(data)
     out = np.empty(index.total_out, dtype=np.uint8)
-    for p in plan_groups(data, index):
-        dev_out = run_group(stream, p)
-        out[p.d_base : p.d_base + p.d_total] = np.asarray(dev_out[: p.d_total])
+    chained = not getattr(index, "self_contained", True)
 
-    # stored blocks: straight host copies (byte-aligned payloads)
+    # stored blocks: straight host copies (byte-aligned payloads); in
+    # chained mode they must land first so group prefixes can see them
     for b in index.blocks:
         if b.btype == C.BTYPE_STORED and b.out_len:
             pos = (b.payload_start_bit >> 3) + 4
             out[b.out_start : b.out_start + b.out_len] = np.frombuffer(
                 data, np.uint8, count=b.out_len, offset=pos
             )
+
+    for p in plan_groups(data, index):
+        if chained and p.d_base:
+            P = min(C.WINDOW_SIZE, p.d_base)
+            prefix = out[p.d_base - P : p.d_base]
+        else:
+            prefix = None
+        dev_out = run_group(stream, p, prefix=prefix)
+        P = 0 if prefix is None else prefix.size
+        out[p.d_base : p.d_base + p.d_total] = np.asarray(
+            dev_out[P : P + p.d_total])
     return out
 
 
@@ -356,6 +396,11 @@ def inflate_to_device(data: bytes, index: StreamIndex):
     shards straight into HBM); also the honest benchmark surface given
     host↔device link bandwidth.
     """
+    if not getattr(index, "self_contained", True):
+        raise CorruptError(
+            "inflate_to_device requires self-contained blocks (streams "
+            "produced by this framework); use inflate() for foreign streams"
+        )
     stream = _Stream(data)
     outs = []
     for p in plan_groups(data, index):

@@ -1,0 +1,187 @@
+"""ctypes bindings for the native runtime (zscan.cc).
+
+The shared library is built once with g++ into a cache directory at first
+use; everything degrades gracefully to the pure-device paths if no
+toolchain is present.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from ..spec.errors import (
+    BlockTypeError,
+    CorruptError,
+    StoredBlockError,
+    TruncatedError,
+)
+from ..spec.refmodel import BlockInfo, StreamIndex
+
+_SRC = Path(__file__).parent / "zscan.cc"
+_lib = None
+_tried = False
+
+
+class _BlockRec(ctypes.Structure):
+    _fields_ = [(n, ctypes.c_int64) for n in (
+        "btype", "bfinal", "start_bit", "payload_start_bit", "end_bit",
+        "out_start", "out_len", "tok_start", "tok_count")]
+
+
+def _build() -> ctypes.CDLL | None:
+    src = _SRC.read_text()
+    tag = hashlib.sha256(src.encode()).hexdigest()[:16]
+    cache = Path(os.path.expanduser("~/.cache/zlibes_tpu"))
+    cache.mkdir(parents=True, exist_ok=True)
+    so = cache / f"libzscan-{tag}.so"
+    if not so.exists():
+        tmp = so.with_suffix(".tmp.so")
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", str(_SRC), "-o", str(tmp)],
+                check=True, capture_output=True, timeout=120,
+            )
+            tmp.rename(so)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    lib.zscan.restype = ctypes.c_int
+    lib.zresolve.restype = ctypes.c_int
+    lib.zadler32.restype = ctypes.c_uint32
+    return lib
+
+
+def _get() -> ctypes.CDLL | None:
+    global _lib, _tried
+    if not _tried:
+        _tried = True
+        _lib = _build()
+    return _lib
+
+
+def available() -> bool:
+    return _get() is not None
+
+
+_ERRORS = {
+    -1: (BlockTypeError, "reserved BTYPE 3"),
+    -2: (TruncatedError, "stream ended mid-block"),
+    -3: (StoredBlockError, "LEN/NLEN mismatch"),
+    -4: (CorruptError, "invalid Huffman data"),
+}
+
+
+def scan(data: bytes, bit_offset: int = 0, anchor_every: int = 4096):
+    """Native structure scan of a raw DEFLATE stream.
+
+    Returns (toks_val, toks_dist, StreamIndex, end_bit, out_len).  Raises
+    the usual typed errors on malformed input, or RuntimeError if the
+    native library is unavailable.
+    """
+    lib = _get()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    # capacity: tokens ≤ output bytes; grow-and-retry on cap errors
+    cap_toks = max(1 << 16, buf.size * 4)
+    cap_blocks = 4096
+    while True:
+        toks_val = np.empty(cap_toks, np.int32)
+        toks_dist = np.empty(cap_toks, np.int32)
+        blocks = (_BlockRec * cap_blocks)()
+        cap_anch = max(1024, cap_toks // max(anchor_every // 8, 1))
+        a_bit = np.empty(cap_anch, np.int64)
+        a_out = np.empty(cap_anch, np.int64)
+        a_blk = np.empty(cap_anch, np.int32)
+        n_toks = ctypes.c_int64()
+        n_blocks = ctypes.c_int64()
+        n_anch = ctypes.c_int64()
+        end_bit = ctypes.c_int64()
+        out_len = ctypes.c_int64()
+        crossing = ctypes.c_int64()
+        rc = lib.zscan(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(buf.size), ctypes.c_int64(bit_offset),
+            toks_val.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            toks_dist.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(cap_toks),
+            blocks, ctypes.c_int64(cap_blocks),
+            a_bit.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            a_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            a_blk.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(cap_anch), ctypes.c_int64(anchor_every),
+            ctypes.byref(n_toks), ctypes.byref(n_blocks), ctypes.byref(n_anch),
+            ctypes.byref(end_bit), ctypes.byref(out_len),
+            ctypes.byref(crossing),
+        )
+        if rc == -5:
+            cap_toks *= 4
+            continue
+        if rc == -6:
+            cap_blocks *= 4
+            continue
+        if rc == -7:
+            cap_toks *= 2  # grows anchor cap too
+            continue
+        if rc != 0:
+            exc, msg = _ERRORS.get(rc, (CorruptError, f"native scan error {rc}"))
+            raise exc(msg)
+        break
+    nb = n_blocks.value
+    infos = [
+        BlockInfo(
+            btype=int(blocks[i].btype), bfinal=bool(blocks[i].bfinal),
+            start_bit=int(blocks[i].start_bit),
+            payload_start_bit=int(blocks[i].payload_start_bit),
+            end_bit=int(blocks[i].end_bit),
+            out_start=int(blocks[i].out_start),
+            out_len=int(blocks[i].out_len),
+        )
+        for i in range(nb)
+    ]
+    index = StreamIndex(
+        infos,
+        a_bit[: n_anch.value].copy(),
+        a_out[: n_anch.value].copy(),
+        a_blk[: n_anch.value].copy(),
+        self_contained=(crossing.value == 0),
+    )
+    return (toks_val[: n_toks.value], toks_dist[: n_toks.value], index,
+            end_bit.value, out_len.value)
+
+
+def resolve(toks_val: np.ndarray, toks_dist: np.ndarray, out_len: int) -> np.ndarray:
+    """Sequential host LZ resolve (fallback path)."""
+    lib = _get()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    out = np.empty(out_len, np.uint8)
+    got = ctypes.c_int64()
+    rc = lib.zresolve(
+        np.ascontiguousarray(toks_val).ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        np.ascontiguousarray(toks_dist).ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(toks_val.size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(out_len), ctypes.byref(got),
+    )
+    if rc != 0:
+        raise CorruptError("native resolve failed")
+    return out[: got.value]
+
+
+def adler32(data: bytes) -> int:
+    lib = _get()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    return int(lib.zadler32(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(buf.size)))

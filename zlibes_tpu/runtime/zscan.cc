@@ -1,0 +1,320 @@
+// Native host runtime: DEFLATE structure scanner + LZ resolver.
+//
+// Role in the framework (SURVEY.md §7 "foreign streams"): block boundaries
+// of a foreign zlib stream are only discoverable by decoding, which is
+// bit-serial — the one part of inflate that cannot be data-parallel on
+// device.  This scanner runs that sequential pass at C speed, emitting
+//   * per-block structure records (the StreamIndex a future decode reuses),
+//   * sync anchors every ~4 KiB of output (token-boundary bit/out offsets),
+//   * the token stream (literal/length/dist), ready for device LZ resolve,
+// plus a sequential resolver used as the host-only fallback codec.
+//
+// Decode tables are flat 2^15-entry canonical lookups (same layout as the
+// device tables in ops/huffman.py).  No code is derived from the reference
+// implementation (reference is TypeScript; this is a fresh RFC 1951
+// implementation).
+//
+// Build: g++ -O2 -shared -fPIC zscan.cc -o libzscan.so   (see native.py)
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+namespace {
+
+constexpr int kMaxBits = 15;
+constexpr int kTabSize = 1 << kMaxBits;
+
+// RFC 1951 §3.2.5 tables
+const int kLenBase[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,35,43,51,
+                          59,67,83,99,115,131,163,195,227,258};
+const int kLenExtra[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,3,3,3,3,4,4,4,4,
+                           5,5,5,5,0};
+const int kDistBase[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,129,193,257,385,
+                           513,769,1025,1537,2049,3073,4097,6145,8193,12289,
+                           16385,24577};
+const int kDistExtra[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,7,7,8,8,9,9,10,10,
+                            11,11,12,12,13,13};
+const int kClcOrder[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
+
+struct BitReader {
+  const uint8_t* data;
+  size_t nbits;
+  size_t pos;  // bit position
+  bool overrun;
+
+  uint32_t peek(int n) {
+    // LSB-first peek of up to 24 bits (n <= 24)
+    size_t byte = pos >> 3;
+    int shift = pos & 7;
+    size_t nbytes = (nbits + 7) >> 3;
+    uint32_t w;
+    if (byte + 4 <= nbytes) {
+      memcpy(&w, data + byte, 4);  // little-endian host
+    } else {
+      w = 0;
+      for (int i = 0; i < 4; i++)
+        if (byte + i < nbytes) w |= (uint32_t)data[byte + i] << (8 * i);
+    }
+    w >>= shift;
+    return w & ((1u << n) - 1);
+  }
+  uint32_t get(int n) {
+    if (pos + n > nbits) { overrun = true; return 0; }
+    uint32_t v = peek(n);
+    pos += n;
+    return v;
+  }
+  void align() { pos = (pos + 7) & ~(size_t)7; }
+};
+
+// flat canonical decode table: entry = sym | (len << 16); 0 len = invalid
+struct Table {
+  int32_t entry[kTabSize];
+};
+
+bool build_table(const uint8_t* lens, int n, Table* t) {
+  int bl_count[kMaxBits + 1] = {0};
+  for (int i = 0; i < n; i++) bl_count[lens[i]]++;
+  bl_count[0] = 0;
+  // Kraft check
+  long kraft = 0;
+  for (int l = 1; l <= kMaxBits; l++) kraft += (long)bl_count[l] << (kMaxBits - l);
+  if (kraft > (1L << kMaxBits)) return false;
+  int next_code[kMaxBits + 2] = {0};
+  int code = 0;
+  for (int l = 1; l <= kMaxBits; l++) {
+    code = (code + bl_count[l - 1]) << 1;
+    next_code[l] = code;
+  }
+  memset(t->entry, 0, sizeof(t->entry));
+  for (int s = 0; s < n; s++) {
+    int l = lens[s];
+    if (!l) continue;
+    int c = next_code[l]++;
+    // bit-reverse c in l bits → LSB-first index
+    int r = 0;
+    for (int b = 0; b < l; b++) { r = (r << 1) | (c & 1); c >>= 1; }
+    int32_t e = s | (l << 16);
+    for (int idx = r; idx < kTabSize; idx += 1 << l) t->entry[idx] = e;
+  }
+  return true;
+}
+
+struct BlockRec {
+  int64_t btype, bfinal;
+  int64_t start_bit, payload_start_bit, end_bit;
+  int64_t out_start, out_len;
+  int64_t tok_start, tok_count;  // token range (stored blocks: raw range)
+};
+
+}  // namespace
+
+extern "C" {
+
+// result codes
+enum {
+  Z_OK = 0, Z_ERR_BTYPE = -1, Z_ERR_TRUNC = -2, Z_ERR_STORED = -3,
+  Z_ERR_CORRUPT = -4, Z_ERR_TOK_CAP = -5, Z_ERR_BLK_CAP = -6,
+  Z_ERR_ANCH_CAP = -7,
+};
+
+// Scan a raw DEFLATE stream starting at bit_offset.
+// toks_*: token output (val = literal byte or match length; dist = 0 for
+// literals).  Stored-block bytes are emitted as literal tokens.
+// Returns Z_OK or error; fills counts through out params.
+int zscan(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
+          int32_t* toks_val, int32_t* toks_dist, int64_t max_toks,
+          BlockRec* blocks, int64_t max_blocks,
+          int64_t* anchor_bit, int64_t* anchor_out, int32_t* anchor_block,
+          int64_t max_anchors, int64_t anchor_every,
+          int64_t* n_toks_out, int64_t* n_blocks_out, int64_t* n_anchors_out,
+          int64_t* end_bit_out, int64_t* out_len_out,
+          int64_t* crossing_out) {
+  BitReader br{data, (size_t)nbytes * 8, (size_t)bit_offset, false};
+  static thread_local Table litlen_tab, dist_tab;
+  int64_t ntok = 0, nblk = 0, nanch = 0, out = 0;
+  int64_t crossing = 0;
+
+  for (;;) {
+    if (nblk >= max_blocks) return Z_ERR_BLK_CAP;
+    BlockRec& B = blocks[nblk];
+    B.start_bit = (int64_t)br.pos;
+    B.out_start = out;
+    B.tok_start = ntok;
+    uint32_t bfinal = br.get(1);
+    uint32_t btype = br.get(2);
+    if (br.overrun) return Z_ERR_TRUNC;
+    B.bfinal = bfinal;
+    B.btype = btype;
+    if (btype == 0) {  // stored
+      br.align();
+      B.payload_start_bit = (int64_t)br.pos;
+      size_t byte = br.pos >> 3;
+      if (byte + 4 > (size_t)nbytes) return Z_ERR_TRUNC;
+      uint32_t len = data[byte] | ((uint32_t)data[byte + 1] << 8);
+      uint32_t nlen = data[byte + 2] | ((uint32_t)data[byte + 3] << 8);
+      if (len != (~nlen & 0xFFFF)) return Z_ERR_STORED;
+      byte += 4;
+      if (byte + len > (size_t)nbytes) return Z_ERR_TRUNC;
+      if (ntok + len > max_toks) return Z_ERR_TOK_CAP;
+      for (uint32_t i = 0; i < len; i++) {
+        toks_val[ntok] = data[byte + i];
+        toks_dist[ntok] = 0;
+        ntok++;
+      }
+      out += len;
+      br.pos = (byte + len) * 8;
+    } else if (btype == 1 || btype == 2) {
+      if (btype == 1) {
+        uint8_t ll[288], dd[32];
+        for (int i = 0; i < 288; i++)
+          ll[i] = i < 144 ? 8 : i < 256 ? 9 : i < 280 ? 7 : 8;
+        for (int i = 0; i < 32; i++) dd[i] = 5;
+        build_table(ll, 288, &litlen_tab);
+        build_table(dd, 32, &dist_tab);
+      } else {
+        uint32_t hlit = br.get(5) + 257;
+        uint32_t hdist = br.get(5) + 1;
+        uint32_t hclen = br.get(4) + 4;
+        uint8_t clc[19] = {0};
+        for (uint32_t i = 0; i < hclen; i++) clc[kClcOrder[i]] = br.get(3);
+        if (br.overrun) return Z_ERR_TRUNC;
+        static thread_local Table clc_tab;
+        if (!build_table(clc, 19, &clc_tab)) return Z_ERR_CORRUPT;
+        uint8_t lens[288 + 32] = {0};
+        uint32_t i = 0;
+        while (i < hlit + hdist) {
+          int32_t e = clc_tab.entry[br.peek(kMaxBits)];
+          int l = e >> 16;
+          if (!l) return Z_ERR_CORRUPT;
+          if (br.pos + l > br.nbits) return Z_ERR_TRUNC;
+          br.pos += l;
+          int sym = e & 0xFFFF;
+          if (sym < 16) {
+            lens[i++] = (uint8_t)sym;
+          } else if (sym == 16) {
+            if (i == 0) return Z_ERR_CORRUPT;
+            uint32_t rep = 3 + br.get(2);
+            if (i + rep > hlit + hdist) return Z_ERR_CORRUPT;
+            uint8_t v = lens[i - 1];
+            for (uint32_t k = 0; k < rep; k++) lens[i++] = v;
+          } else if (sym == 17) {
+            uint32_t rep = 3 + br.get(3);
+            if (i + rep > hlit + hdist) return Z_ERR_CORRUPT;
+            i += rep;
+          } else {
+            uint32_t rep = 11 + br.get(7);
+            if (i + rep > hlit + hdist) return Z_ERR_CORRUPT;
+            i += rep;
+          }
+          if (br.overrun) return Z_ERR_TRUNC;
+        }
+        if (!build_table(lens, hlit, &litlen_tab)) return Z_ERR_CORRUPT;
+        if (!build_table(lens + hlit, hdist, &dist_tab)) return Z_ERR_CORRUPT;
+      }
+      B.payload_start_bit = (int64_t)br.pos;
+      int64_t next_anchor = out;  // first anchor at payload start
+      for (;;) {
+        if (anchor_every > 0 && out >= next_anchor) {
+          if (nanch >= max_anchors) return Z_ERR_ANCH_CAP;
+          anchor_bit[nanch] = (int64_t)br.pos;
+          anchor_out[nanch] = out;
+          anchor_block[nanch] = (int32_t)nblk;
+          nanch++;
+          next_anchor = out + anchor_every;
+        }
+        int32_t e = litlen_tab.entry[br.peek(kMaxBits)];
+        int l = e >> 16;
+        if (!l) return Z_ERR_CORRUPT;
+        if (br.pos + l > br.nbits) return Z_ERR_TRUNC;
+        br.pos += l;
+        int sym = e & 0xFFFF;
+        if (sym < 256) {
+          if (ntok >= max_toks) return Z_ERR_TOK_CAP;
+          toks_val[ntok] = sym;
+          toks_dist[ntok] = 0;
+          ntok++;
+          out++;
+        } else if (sym == 256) {
+          break;
+        } else {
+          if (sym > 285) return Z_ERR_CORRUPT;
+          int li = sym - 257;
+          uint32_t length = kLenBase[li] + br.get(kLenExtra[li]);
+          int32_t de = dist_tab.entry[br.peek(kMaxBits)];
+          int dl = de >> 16;
+          if (!dl) return Z_ERR_CORRUPT;
+          if (br.pos + dl > br.nbits) return Z_ERR_TRUNC;
+          br.pos += dl;
+          int dsym = de & 0xFFFF;
+          if (dsym > 29) return Z_ERR_CORRUPT;
+          uint32_t dist = kDistBase[dsym] + br.get(kDistExtra[dsym]);
+          if (br.overrun) return Z_ERR_TRUNC;
+          if ((int64_t)dist > out) return Z_ERR_CORRUPT;
+          if ((int64_t)dist > out - B.out_start) crossing = 1;
+          if (ntok >= max_toks) return Z_ERR_TOK_CAP;
+          toks_val[ntok] = (int32_t)length;
+          toks_dist[ntok] = (int32_t)dist;
+          ntok++;
+          out += length;
+        }
+      }
+    } else {
+      return Z_ERR_BTYPE;
+    }
+    B.end_bit = (int64_t)br.pos;
+    B.out_len = out - B.out_start;
+    B.tok_count = ntok - B.tok_start;
+    nblk++;
+    if (bfinal) break;
+  }
+  *n_toks_out = ntok;
+  *n_blocks_out = nblk;
+  *n_anchors_out = nanch;
+  *end_bit_out = (int64_t)br.pos;
+  *out_len_out = out;
+  *crossing_out = crossing;
+  return Z_OK;
+}
+
+// Sequential LZ resolve: tokens → output bytes (host fallback path).
+int zresolve(const int32_t* toks_val, const int32_t* toks_dist, int64_t ntok,
+             uint8_t* out, int64_t out_cap, int64_t* out_len) {
+  int64_t o = 0;
+  for (int64_t t = 0; t < ntok; t++) {
+    int32_t d = toks_dist[t];
+    if (d == 0) {
+      if (o >= out_cap) return Z_ERR_TOK_CAP;
+      out[o++] = (uint8_t)toks_val[t];
+    } else {
+      int64_t len = toks_val[t];
+      if (d > o || o + len > out_cap) return Z_ERR_CORRUPT;
+      const uint8_t* src = out + o - d;
+      uint8_t* dst = out + o;
+      if (d >= len) {
+        memcpy(dst, src, (size_t)len);
+      } else {
+        for (int64_t i = 0; i < len; i++) dst[i] = src[i];
+      }
+      o += len;
+    }
+  }
+  *out_len = o;
+  return Z_OK;
+}
+
+// Adler-32 (host fallback verification).
+uint32_t zadler32(const uint8_t* data, int64_t n) {
+  uint32_t s1 = 1, s2 = 0;
+  int64_t i = 0;
+  while (i < n) {
+    int64_t blk = n - i < 5552 ? n - i : 5552;
+    for (int64_t k = 0; k < blk; k++) { s1 += data[i + k]; s2 += s1; }
+    s1 %= 65521; s2 %= 65521;
+    i += blk;
+  }
+  return (s2 << 16) | s1;
+}
+
+}  // extern "C"

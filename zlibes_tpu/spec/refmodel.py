@@ -329,6 +329,7 @@ class StreamIndex:
     anchor_bit: np.ndarray    # int64[NA] absolute bit offsets
     anchor_out: np.ndarray    # int64[NA] absolute output offsets
     anchor_block: np.ndarray  # int32[NA] owning block id
+    self_contained: bool = True  # no back-references across block boundaries
 
     @property
     def total_out(self) -> int:
@@ -346,7 +347,29 @@ class StreamIndex:
             for b in self.blocks
         ]
         return StreamIndex(blocks, self.anchor_bit + bits, self.anchor_out,
-                           self.anchor_block)
+                           self.anchor_block, self.self_contained)
+
+    def save(self, path) -> None:
+        """Persist the sidecar index (reload with StreamIndex.load)."""
+        blk = np.array(
+            [[b.btype, int(b.bfinal), b.start_bit, b.payload_start_bit,
+              b.end_bit, b.out_start, b.out_len] for b in self.blocks],
+            dtype=np.int64,
+        )
+        np.savez(path, blocks=blk, anchor_bit=self.anchor_bit,
+                 anchor_out=self.anchor_out, anchor_block=self.anchor_block,
+                 self_contained=np.array([self.self_contained]))
+
+    @staticmethod
+    def load(path) -> "StreamIndex":
+        z = np.load(path)
+        blocks = [
+            BlockInfo(int(r[0]), bool(r[1]), int(r[2]), int(r[3]), int(r[4]),
+                      int(r[5]), int(r[6]))
+            for r in z["blocks"]
+        ]
+        return StreamIndex(blocks, z["anchor_bit"], z["anchor_out"],
+                           z["anchor_block"], bool(z["self_contained"][0]))
 
 
 def inflate_raw(data: bytes, byte_offset: int = 0) -> InflateResult:
