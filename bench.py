@@ -24,15 +24,25 @@ from pathlib import Path
 import numpy as np
 
 
+def _log(msg: str) -> None:
+    import sys
+
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main() -> None:
     import jax
 
     from zlibes_tpu.codec import deflate_pipeline as dp
     from zlibes_tpu.codec import inflate_pipeline as ip
 
+    _log(f"devices: {jax.devices()}")
     raw = (Path(__file__).parent / "tests" / "golden" / "raw.bin").read_bytes()
     data = raw * 8  # ~3.8 MB
+    t0 = time.perf_counter()
     comp, index = dp.deflate(data, with_index=True)
+    _log(f"deflate done ({time.perf_counter()-t0:.0f}s incl. compile), "
+         f"{len(comp)} bytes")
     assert pyzlib.decompress(comp) == data
 
     stream = ip._Stream(comp)
@@ -43,7 +53,9 @@ def main() -> None:
         return outs
 
     # warm-up (compile) + correctness spot check
+    t0 = time.perf_counter()
     outs = run_once()
+    _log(f"inflate warm-up done ({time.perf_counter()-t0:.0f}s incl. compile)")
     got = np.concatenate([np.asarray(o[: p.d_total]) for o, p in zip(outs, plans)])
     expect = np.frombuffer(data, np.uint8)
     assert got.size == expect.size and (got == expect).all(), "bench output mismatch"

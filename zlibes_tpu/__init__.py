@@ -11,10 +11,6 @@ Public API (reference analog src/zlib.ts:11,25):
     inflate(data) -> bytes
 """
 
-from .utils.cache import enable_persistent_cache
-
-enable_persistent_cache()
-
 from .codec.api import (  # noqa: F401
     build_index,
     deflate,
@@ -24,9 +20,10 @@ from .codec.api import (  # noqa: F401
 )
 from .spec import constants, errors  # noqa: F401
 from .spec.refmodel import StreamIndex  # noqa: F401
+from .config import CodecConfig, CodecStats  # noqa: F401
 
 __version__ = "0.1.0"
 __all__ = [
     "deflate", "deflate_indexed", "inflate", "inflate_to_device",
-    "build_index", "StreamIndex", "constants", "errors",
+    "build_index", "StreamIndex", "CodecConfig", "CodecStats", "constants", "errors",
 ]

@@ -26,14 +26,21 @@ def _tpu_modules():
     return deflate_pipeline, inflate_pipeline
 
 
-def deflate(data: bytes, *, backend: str = "auto", block_size: int | None = None) -> bytes:
-    """Compress ``data`` into a zlib stream (header 0x78 0x9C + Adler-32)."""
+def deflate(data: bytes, *, backend: str = "auto", block_size: int | None = None,
+            level: int | None = None, config=None, stats=None) -> bytes:
+    """Compress ``data`` into a zlib stream (header 0x78 0x9C + Adler-32).
+
+    ``level`` 0..9 selects a speed/ratio preset (zlib-style); ``config``
+    (a CodecConfig) overrides; ``stats`` (a CodecStats) collects per-call
+    observability.
+    """
     _check_backend(backend)
     kw = {"block_size": block_size} if block_size else {}
     if backend != "refmodel":
         dp, _ = _tpu_modules()
         if dp is not None:
-            return dp.deflate(bytes(data), **kw)
+            return dp.deflate(bytes(data), level=level, config=config,
+                              stats=stats, **kw)
         if backend == "tpu":
             raise RuntimeError("TPU pipeline unavailable")
     return _rm.deflate(bytes(data), **kw)

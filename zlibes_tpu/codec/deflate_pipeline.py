@@ -32,6 +32,7 @@ from ..ops.deflate_kernel import gather_compressed, pack_payload, token_symbols
 from ..ops.lz77 import SEG, find_matches, select_tokens
 from ..spec import constants as C
 from ..spec.refmodel import BitWriter, BlockInfo, StreamIndex, _rle_code_lengths
+from ..config import DEFAULT_CONFIG, CodecConfig, CodecStats, trace
 
 _RLE_EXTRA_BITS = {16: 2, 17: 3, 18: 7}
 _BLOCKS_PER_DISPATCH = 16
@@ -144,23 +145,64 @@ def _or_bits(buf: np.ndarray, bit_off: int, value: int, nbits: int) -> None:
         buf[pos + i] |= (v >> (8 * i)) & 0xFF
 
 
+def _stored_stream(arr: np.ndarray, stats) -> tuple:
+    """Level-0 path: raw stored blocks only (no device work)."""
+    parts: list[bytes] = []
+    blocks: list[BlockInfo] = []
+    bit = 0
+    pos = 0
+    n = arr.size
+    while True:
+        chunk = arr[pos : pos + 65535]
+        last = pos + 65535 >= n
+        part = bytes([1 if last else 0]) + len(chunk).to_bytes(2, "little") + \
+            ((~len(chunk)) & 0xFFFF).to_bytes(2, "little") + chunk.tobytes()
+        blocks.append(BlockInfo(C.BTYPE_STORED, last, bit, bit + 8,
+                                bit + len(part) * 8, pos, len(chunk)))
+        parts.append(part)
+        bit += len(part) * 8
+        pos += 65535
+        if last:
+            break
+    body = b"".join(parts)
+    stats.bytes_out += len(body)
+    stats.blocks += len(blocks)
+    index = StreamIndex(blocks, np.zeros(0, np.int64), np.zeros(0, np.int64),
+                        np.zeros(0, np.int32))
+    return body, index
+
+
 class _BlockPlan:
     __slots__ = ("btype", "raw", "hdr_bytes", "hdr_bits", "ll_code", "ll_len",
                  "d_code", "d_len", "eob_code", "eob_len", "bfinal")
 
 
-def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN):
+def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN,
+                    config: CodecConfig | None = None,
+                    stats: CodecStats | None = None):
     """Encode a raw DEFLATE stream on device.  Returns (bytes, StreamIndex)."""
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    cfg = config or DEFAULT_CONFIG
+    stats = stats if stats is not None else CodecStats()
     arr = np.frombuffer(bytes(data), dtype=np.uint8)
     n = arr.size
+    stats.bytes_in += n
     if n == 0:
         body = b"\x01\x00\x00\xff\xff"
         blocks = [BlockInfo(C.BTYPE_STORED, True, 0, 8, 40, 0, 0)]
         return body, StreamIndex(blocks, np.zeros(0, np.int64),
                                  np.zeros(0, np.int64), np.zeros(0, np.int32))
     N = block_size
+    SEG_SIZE = cfg.seg_size
+    if N % SEG_SIZE:
+        raise ValueError("block_size must be a multiple of config.seg_size")
     nblocks = -(-n // N)
-    nseg = -(-N // SEG)
+    nseg = N // SEG_SIZE
+
+    if cfg.force_stored:
+        return _stored_stream(arr, stats)
 
     out_parts: list[bytes] = []
     blocks: list[BlockInfo] = []
@@ -169,10 +211,11 @@ def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN):
     anchor_block: list[int] = []
     stream_bit = 0  # always byte-aligned at block starts
 
-    for d0 in range(0, nblocks, _BLOCKS_PER_DISPATCH):
-        d1 = min(nblocks, d0 + _BLOCKS_PER_DISPATCH)
+    for d0 in range(0, nblocks, cfg.blocks_per_dispatch):
+        d1 = min(nblocks, d0 + cfg.blocks_per_dispatch)
         B = d1 - d0
-        Bp = _BLOCKS_PER_DISPATCH  # fixed batch → one compiled program set
+        Bp = cfg.blocks_per_dispatch  # fixed batch → one compiled program set
+        stats.dispatches += 1
         blk_bytes = np.zeros((Bp, N + 8), dtype=np.uint8)
         n_valid = np.zeros(Bp, dtype=np.int32)
         for i, bi in enumerate(range(d0, d1)):
@@ -182,9 +225,17 @@ def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN):
 
         dev_bytes = jnp.asarray(blk_bytes)
         dev_nv = jnp.asarray(n_valid)
-        matches = find_matches(dev_bytes, dev_nv, N=N)
-        tv, td, cnt = select_tokens(dev_bytes, matches, dev_nv, N=N)
-        lsym, dsym, valid, ll_freq, d_freq = token_symbols(tv, td, cnt, nseg=nseg)
+        with stats.timer("match"), trace("zlibes.match"):
+            if cfg.candidates > 0:
+                matches = find_matches(dev_bytes, dev_nv, N=N,
+                                       S=cfg.probe_words, J=cfg.candidates)
+            else:  # level 0: literals only
+                matches = jnp.zeros((Bp, N), jnp.int32)
+        with stats.timer("select"), trace("zlibes.select"):
+            tv, td, cnt = select_tokens(dev_bytes, matches, dev_nv, N=N,
+                                        SEG_SIZE=SEG_SIZE, lazy=cfg.lazy)
+        with stats.timer("symbols"), trace("zlibes.symbols"):
+            lsym, dsym, valid, ll_freq, d_freq = token_symbols(tv, td, cnt, nseg=nseg)
         ll_freq_np = np.asarray(ll_freq)
         d_freq_np = np.asarray(d_freq)
 
@@ -312,9 +363,9 @@ def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN):
                 start_bit + plan.hdr_bits, start_bit + end_bits,
                 out_start, nb))
             # anchors for this block's segment lanes
-            for s in range(-(-nb // SEG)):
+            for s in range(-(-nb // SEG_SIZE)):
                 anchor_bit.append(start_bit + int(lane_bit0_np[i * nseg + s]))
-                anchor_out.append(out_start + s * SEG)
+                anchor_out.append(out_start + s * SEG_SIZE)
                 anchor_block.append(len(blocks) - 1)
             if plan.bfinal:
                 nbytes = (end_bits + 7) // 8
@@ -333,6 +384,8 @@ def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN):
                 stream_bit += len(part) * 8
 
     body = b"".join(out_parts)
+    stats.bytes_out += len(body)
+    stats.blocks += len(blocks)
     index = StreamIndex(
         blocks,
         np.asarray(anchor_bit, np.int64),
@@ -342,10 +395,18 @@ def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN):
     return body, index
 
 
-def deflate(data: bytes, block_size: int | None = None, with_index: bool = False):
-    """zlib-container deflate on the TPU pipeline."""
+def deflate(data: bytes, block_size: int | None = None, with_index: bool = False,
+            level: int | None = None, config: CodecConfig | None = None,
+            stats: CodecStats | None = None):
+    """zlib-container deflate on the TPU pipeline.
+
+    ``level`` (0..9) selects a CodecConfig preset; ``config`` overrides.
+    """
     data = bytes(data)
-    body, index = deflate_raw_tpu(data, block_size or C.BLOCK_MAX_BUFFER_LEN)
+    if config is None and level is not None:
+        config = CodecConfig.from_level(level)
+    body, index = deflate_raw_tpu(data, block_size or C.BLOCK_MAX_BUFFER_LEN,
+                                  config=config, stats=stats)
     arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
     trailer = int(adler32_device(arr, len(data))).to_bytes(4, "big")
     out = C.ZLIB_HEADER + body + trailer

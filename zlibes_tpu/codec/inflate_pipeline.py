@@ -55,6 +55,9 @@ class _Stream:
     """Device-resident view of the compressed stream."""
 
     def __init__(self, data: bytes):
+        from ..utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
         w32, b = make_windows(data)
         nb = _bucket(w32.size)
         self.w32 = jnp.asarray(np.pad(w32, (0, nb - w32.size)))

@@ -1,0 +1,95 @@
+"""Codec configuration and per-call statistics.
+
+The reference has no config surface at all (SURVEY.md §5: no levels, no
+windowBits — everything hard-coded).  We expose the knobs that exist in
+this architecture as a frozen dataclass, with a level→preset mapping so
+``level=`` behaves like users expect from zlib.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from dataclasses import dataclass, field
+
+from .spec import constants as C
+
+
+@dataclass(frozen=True)
+class CodecConfig:
+    """Tuning knobs for the TPU deflate pipeline."""
+
+    block_size: int = C.BLOCK_MAX_BUFFER_LEN  # bytes per DEFLATE block
+    seg_size: int = 4096       # greedy-selection segment / decode anchor span
+    probe_words: int = 16      # match-length probe u32s (cap = 4*S+3 bytes)
+    candidates: int = 16       # sorted-order match candidates per position
+    lazy: bool = True          # one-step lazy matching
+    blocks_per_dispatch: int = 16
+    force_stored: bool = False  # level 0: raw stored blocks, no coding
+
+    @staticmethod
+    def from_level(level: int) -> "CodecConfig":
+        """zlib-style levels 1 (fast) .. 9 (best).  Level 0 = stored only."""
+        if not 0 <= level <= 9:
+            raise ValueError("level must be 0..9")
+        if level == 0:
+            return CodecConfig(probe_words=1, candidates=0, lazy=False,
+                               force_stored=True)
+        table = {
+            1: dict(probe_words=4, candidates=2, lazy=False),
+            2: dict(probe_words=4, candidates=4, lazy=False),
+            3: dict(probe_words=8, candidates=4, lazy=False),
+            4: dict(probe_words=8, candidates=8, lazy=False),
+            5: dict(probe_words=8, candidates=8, lazy=True),
+            6: dict(probe_words=16, candidates=16, lazy=True),
+            7: dict(probe_words=16, candidates=24, lazy=True),
+            8: dict(probe_words=24, candidates=32, lazy=True),
+            9: dict(probe_words=32, candidates=48, lazy=True),
+        }
+        return CodecConfig(**table[level])
+
+
+DEFAULT_CONFIG = CodecConfig()
+
+
+@dataclass
+class CodecStats:
+    """Per-call observability (SURVEY.md §5 'metrics/logging')."""
+
+    bytes_in: int = 0
+    bytes_out: int = 0
+    blocks: int = 0
+    dispatches: int = 0
+    stage_s: dict = field(default_factory=dict)
+
+    @property
+    def ratio(self) -> float:
+        return self.bytes_out / self.bytes_in if self.bytes_in else 0.0
+
+    def timer(self, stage: str):
+        return _StageTimer(self, stage)
+
+
+class _StageTimer:
+    def __init__(self, stats: CodecStats, stage: str):
+        self.stats, self.stage = stats, stage
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.stats.stage_s[self.stage] = self.stats.stage_s.get(
+            self.stage, 0.0) + time.perf_counter() - self.t0
+        return False
+
+
+def trace(name: str):
+    """jax.profiler trace annotation (no-op if profiler unavailable)."""
+    try:
+        import jax.profiler
+
+        return jax.profiler.TraceAnnotation(name)
+    except Exception:  # pragma: no cover
+        import contextlib
+
+        return contextlib.nullcontext()

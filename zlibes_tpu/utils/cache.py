@@ -13,12 +13,22 @@ _done = False
 
 
 def enable_persistent_cache(path: str | None = None) -> None:
+    """Enable the on-disk cache for accelerator backends.
+
+    Deliberately skipped for CPU: XLA:CPU AOT cache entries are
+    machine-feature-sensitive and reload with loud warnings.
+    """
     global _done
     if _done:
         return
     _done = True
     import jax
 
+    try:
+        if jax.default_backend() == "cpu":
+            return
+    except Exception:
+        return
     cache_dir = path or os.environ.get("JAX_COMPILATION_CACHE_DIR") or _DEFAULT_DIR
     os.makedirs(cache_dir, exist_ok=True)
     try:
