@@ -1,0 +1,64 @@
+"""Preset dictionary (RFC 1950 FDICT) + shared-dictionary batch codec."""
+import zlib as pyzlib
+
+import jax
+import numpy as np
+import pytest
+
+import zlibes_tpu
+from zlibes_tpu.parallel.batch import compress_batch, decompress_batch
+from zlibes_tpu.parallel import make_mesh
+from zlibes_tpu.spec import errors
+
+DICT = b"the quick brown fox jumps over the lazy dog " * 40
+DATA = b"a lazy dog jumps; the quick brown fox naps " * 30
+
+
+def test_deflate_with_dictionary_oracle():
+    out = zlibes_tpu.deflate(DATA, dictionary=DICT)
+    plain = zlibes_tpu.deflate(DATA)
+    assert len(out) < len(plain)  # the dictionary must actually help
+    d = pyzlib.decompressobj(zdict=DICT)
+    assert d.decompress(out) == DATA
+
+
+def test_inflate_with_dictionary_both_directions():
+    ours = zlibes_tpu.deflate(DATA, dictionary=DICT)
+    assert zlibes_tpu.inflate(ours, dictionary=DICT) == DATA
+    co = pyzlib.compressobj(6, pyzlib.DEFLATED, 15, 8, 0, DICT)
+    foreign = co.compress(DATA) + co.flush()
+    assert zlibes_tpu.inflate(foreign, dictionary=DICT) == DATA
+
+
+def test_dictionary_errors():
+    out = zlibes_tpu.deflate(DATA, dictionary=DICT)
+    with pytest.raises(errors.HeaderError):
+        zlibes_tpu.inflate(out)  # missing dictionary
+    with pytest.raises(errors.HeaderError):
+        zlibes_tpu.inflate(out, dictionary=b"wrong dictionary")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_compress_batch_mesh_broadcast():
+    rng = np.random.default_rng(5)
+    payloads = [
+        (b"fox dog quick lazy " * rng.integers(3, 40)) +
+        rng.integers(0, 256, int(rng.integers(0, 200)), dtype=np.uint8).tobytes()
+        for _ in range(37)
+    ]
+    mesh = make_mesh(8)
+    members = compress_batch(payloads, DICT, mesh=mesh)
+    assert len(members) == len(payloads)
+    for m, p in zip(members, payloads):
+        d = pyzlib.decompressobj(zdict=DICT)
+        assert d.decompress(m) == p  # canonical-zlib oracle
+    got = decompress_batch(members, DICT)
+    assert got == [bytes(p) for p in payloads]
+
+
+def test_compress_batch_single_device():
+    payloads = [DATA, b"", b"x", DICT[:100]]
+    members = compress_batch(payloads, DICT, mesh=make_mesh(1))
+    for m, p in zip(members, payloads):
+        d = pyzlib.decompressobj(zdict=DICT)
+        assert d.decompress(m) == p

@@ -27,7 +27,8 @@ def _tpu_modules():
 
 
 def deflate(data: bytes, *, backend: str = "auto", block_size: int | None = None,
-            level: int | None = None, config=None, stats=None) -> bytes:
+            level: int | None = None, config=None, stats=None,
+            dictionary: bytes | None = None) -> bytes:
     """Compress ``data`` into a zlib stream (header 0x78 0x9C + Adler-32).
 
     ``level`` 0..9 selects a speed/ratio preset (zlib-style); ``config``
@@ -36,6 +37,10 @@ def deflate(data: bytes, *, backend: str = "auto", block_size: int | None = None
     """
     _check_backend(backend)
     kw = {"block_size": block_size} if block_size else {}
+    if dictionary is not None:
+        # dictionary-aware single-stream encode runs on the reference
+        # model (the device batch path is parallel.batch.compress_batch)
+        return _rm.deflate(bytes(data), dictionary=dictionary, **kw)
     if backend != "refmodel":
         dp, _ = _tpu_modules()
         if dp is not None:
@@ -66,22 +71,24 @@ def deflate_indexed(data: bytes, *, backend: str = "auto",
 
 
 def inflate(data: bytes, *, backend: str = "auto", verify_checksum: bool = True,
-            index=None) -> bytes:
+            index=None, dictionary: bytes | None = None) -> bytes:
     """Decompress a zlib stream, verifying the Adler-32 trailer.
 
     ``index=`` (a StreamIndex) selects the block/anchor-parallel device
     path; without it, foreign streams decode via the sequential-structure
-    scan path.
+    scan path.  ``dictionary=`` supplies the preset dictionary for FDICT
+    streams (RFC 1950 §2.2).
     """
     _check_backend(backend)
     if backend != "refmodel":
         _, ip = _tpu_modules()
         if ip is not None:
             return ip.inflate(bytes(data), verify_checksum=verify_checksum,
-                              index=index)
+                              index=index, dictionary=dictionary)
         if backend == "tpu":
             raise RuntimeError("TPU pipeline unavailable")
-    return _rm.inflate(bytes(data), verify_checksum=verify_checksum)
+    return _rm.inflate(bytes(data), verify_checksum=verify_checksum,
+                       dictionary=dictionary)
 
 
 def inflate_to_device(data: bytes, index):

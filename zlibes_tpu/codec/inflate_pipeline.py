@@ -106,21 +106,27 @@ def _decode_one_block(stream: _Stream, bitpos: int, ll_len, d_len):
 _RESOLVE_WINDOW = 1 << 22  # 4 MiB resolve windows (foreign streams)
 
 
-def _resolve_tokens_np(vals: np.ndarray, dists: np.ndarray) -> np.ndarray:
+def _resolve_tokens_np(vals: np.ndarray, dists: np.ndarray,
+                       dictionary: bytes | None = None) -> np.ndarray:
     """Resolve one global token stream into output bytes (device).
 
     Streams larger than one resolve dispatch are processed in 4 MiB output
     windows with the previous 32 KiB (the max back-reference distance) as a
-    pre-resolved prefix halo.
+    pre-resolved prefix halo; the first window's halo carries the preset
+    dictionary, if any.
     """
     lens = np.where(dists > 0, vals.astype(np.int64), 1)
     total = int(lens.sum())
     starts = np.concatenate([[0], np.cumsum(lens)])
     out = np.empty(total, dtype=np.uint8)
+    P = C.WINDOW_SIZE  # fixed halo width → one compiled program
+    first_halo = np.zeros(P, dtype=np.uint8)
+    if dictionary:
+        dt = np.frombuffer(bytes(dictionary[-P:]), np.uint8)
+        first_halo[P - dt.size :] = dt
     a = 0
     while a < total:
         b = min(total, a + _RESOLVE_WINDOW)
-        P = C.WINDOW_SIZE if a else 0
         t0 = int(np.searchsorted(starts[1:], a, side="right"))
         t1 = int(np.searchsorted(starts[:-1], b, side="left"))
         n = t1 - t0
@@ -131,7 +137,12 @@ def _resolve_tokens_np(vals: np.ndarray, dists: np.ndarray) -> np.ndarray:
         td[:n] = dists[t0:t1]
         out_base = P + int(starts[t0]) - a
         O = _bucket(P + (b - a), lo=4096)
-        prefix = out[a - P : a] if P else np.zeros(0, dtype=np.uint8)
+        if a == 0:
+            prefix = first_halo
+        elif a >= P:
+            prefix = out[a - P : a]
+        else:
+            prefix = np.concatenate([first_halo[a:], out[:a]])
         res, err = resolve_global(
             jnp.asarray(tv[None, :]), jnp.asarray(td[None, :]),
             jnp.asarray([n], jnp.int32), jnp.asarray([out_base], jnp.int32),
@@ -144,7 +155,8 @@ def _resolve_tokens_np(vals: np.ndarray, dists: np.ndarray) -> np.ndarray:
     return out
 
 
-def inflate_raw_scan(data: bytes, byte_offset: int = 0):
+def inflate_raw_scan(data: bytes, byte_offset: int = 0,
+                     dictionary: bytes | None = None):
     """Sequential-structure inflate of an arbitrary conformant stream.
 
     Returns (output bytes ndarray, list[BlockInfo], end_bit).
@@ -155,10 +167,13 @@ def inflate_raw_scan(data: bytes, byte_offset: int = 0):
     """
     from ..runtime import native
 
+    dict_tail = bytes(dictionary[-C.WINDOW_SIZE:]) if dictionary else None
     if native.available():
         toks_val, toks_dist, index, end_bit, out_len = native.scan(
-            data, bit_offset=byte_offset * 8)
-        out = native.resolve(toks_val, toks_dist, out_len)
+            data, bit_offset=byte_offset * 8,
+            dict_len=len(dict_tail) if dict_tail else 0)
+        out = native.resolve(toks_val, toks_dist, out_len,
+                             dictionary=dict_tail)
         return out, index.blocks, end_bit
 
     stream = _Stream(data)
@@ -217,7 +232,7 @@ def inflate_raw_scan(data: bytes, byte_offset: int = 0):
             break
     vals = np.concatenate(vals_parts) if vals_parts else np.zeros(0, np.int32)
     dists = np.concatenate(dists_parts) if dists_parts else np.zeros(0, np.int32)
-    out = _resolve_tokens_np(vals, dists)
+    out = _resolve_tokens_np(vals, dists, dictionary=dict_tail)
     return out, blocks, br.bitpos
 
 
@@ -411,7 +426,8 @@ def inflate_to_device(data: bytes, index: StreamIndex):
     return outs
 
 
-def inflate(data: bytes, verify_checksum: bool = True, index=None) -> bytes:
+def inflate(data: bytes, verify_checksum: bool = True, index=None,
+            dictionary: bytes | None = None) -> bytes:
     """zlib-container inflate on the TPU pipeline."""
     data = bytes(data)
     if len(data) < 6:
@@ -423,13 +439,28 @@ def inflate(data: bytes, verify_checksum: bool = True, index=None) -> bytes:
         raise HeaderError("invalid CINFO (window > 32 KiB)")
     if (cmf * 256 + flg) % 31 != 0:
         raise HeaderError("FCHECK failed")
+    offset = 2
     if flg & 0x20:
-        raise HeaderError("preset dictionary (FDICT) not supported")
+        if dictionary is None:
+            raise HeaderError("stream requires a preset dictionary (FDICT)")
+        if len(data) < 10:
+            raise TruncatedError("missing DICTID")
+        from ..spec.refmodel import adler32 as _adler_host
+
+        if int.from_bytes(data[2:6], "big") != _adler_host(dictionary):
+            raise HeaderError("DICTID does not match supplied dictionary")
+        offset = 6
+    else:
+        dictionary = None
     if index is not None:
+        if dictionary is not None:
+            raise HeaderError("indexed decode with dictionaries not supported"
+                              " yet; omit index=")
         out = inflate_raw_indexed(data, index)
         end_bit = index.blocks[-1].end_bit
     else:
-        out, _blocks, end_bit = inflate_raw_scan(data, byte_offset=2)
+        out, _blocks, end_bit = inflate_raw_scan(data, byte_offset=offset,
+                                                 dictionary=dictionary)
     if verify_checksum:
         trailer_pos = (end_bit + 7) >> 3
         if trailer_pos + 4 > len(data):

@@ -135,7 +135,7 @@ def find_matches(
     return packed
 
 
-@partial(jax.jit, static_argnames=("N", "SEG_SIZE", "lazy"))
+@partial(jax.jit, static_argnames=("N", "SEG_SIZE", "lazy", "start"))
 def select_tokens(
     data: jax.Array,     # uint8 (B, N + 8)
     matches: jax.Array,  # int32 (B, N) packed (len<<16)|dist
@@ -143,16 +143,19 @@ def select_tokens(
     N: int,
     SEG_SIZE: int = SEG,
     lazy: bool = True,
+    start: int = 0,
 ):
     """Greedy(+lazy) tokenization over segment lanes.
 
-    Lane k of block b covers [k*SEG_SIZE, (k+1)*SEG_SIZE) of that block;
+    Lane k of block b covers [start + k*SEG_SIZE, start + (k+1)*SEG_SIZE);
     matches are clamped at segment end so each segment's token cover is
-    independent.  Returns (toks_val (L, T), toks_dist (L, T), count (L,))
-    with L = B * N/SEG_SIZE lanes, token j of lane l at column j.
+    independent.  ``start`` > 0 marks a preset-dictionary context prefix:
+    bytes below it are match targets but never tokenized.  Returns
+    (toks_val (L, T), toks_dist (L, T), count (L,)) with
+    L = B * (N-start)/SEG_SIZE lanes, token j of lane l at column j.
     """
     B = matches.shape[0]
-    nseg = N // SEG_SIZE
+    nseg = (N - start) // SEG_SIZE
     L = B * nseg
     T = SEG_SIZE
 
@@ -161,7 +164,7 @@ def select_tokens(
 
     lane = jnp.arange(L, dtype=jnp.int32)
     blk = lane // nseg
-    seg0 = blk * N + (lane % nseg) * SEG_SIZE
+    seg0 = blk * N + start + (lane % nseg) * SEG_SIZE
     nv = n_valid[blk]
     seg_end = jnp.minimum(seg0 + SEG_SIZE, blk * N + nv)
 

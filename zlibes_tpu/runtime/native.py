@@ -79,7 +79,8 @@ _ERRORS = {
 }
 
 
-def scan(data: bytes, bit_offset: int = 0, anchor_every: int = 4096):
+def scan(data: bytes, bit_offset: int = 0, anchor_every: int = 4096,
+         dict_len: int = 0):
     """Native structure scan of a raw DEFLATE stream.
 
     Returns (toks_val, toks_dist, StreamIndex, end_bit, out_len).  Raises
@@ -118,6 +119,7 @@ def scan(data: bytes, bit_offset: int = 0, anchor_every: int = 4096):
             a_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             a_blk.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             ctypes.c_int64(cap_anch), ctypes.c_int64(anchor_every),
+            ctypes.c_int64(dict_len),
             ctypes.byref(n_toks), ctypes.byref(n_blocks), ctypes.byref(n_anch),
             ctypes.byref(end_bit), ctypes.byref(out_len),
             ctypes.byref(crossing),
@@ -158,23 +160,28 @@ def scan(data: bytes, bit_offset: int = 0, anchor_every: int = 4096):
             end_bit.value, out_len.value)
 
 
-def resolve(toks_val: np.ndarray, toks_dist: np.ndarray, out_len: int) -> np.ndarray:
+def resolve(toks_val: np.ndarray, toks_dist: np.ndarray, out_len: int,
+            dictionary: bytes | None = None) -> np.ndarray:
     """Sequential host LZ resolve (fallback path)."""
     lib = _get()
     if lib is None:
         raise RuntimeError("native runtime unavailable")
-    out = np.empty(out_len, np.uint8)
+    plen = len(dictionary) if dictionary else 0
+    out = np.empty(plen + out_len, np.uint8)
+    if plen:
+        out[:plen] = np.frombuffer(dictionary, np.uint8)
     got = ctypes.c_int64()
     rc = lib.zresolve(
         np.ascontiguousarray(toks_val).ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         np.ascontiguousarray(toks_dist).ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_int64(toks_val.size),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.c_int64(out_len), ctypes.byref(got),
+        ctypes.c_int64(plen + out_len), ctypes.byref(got),
+        ctypes.c_int64(plen),
     )
     if rc != 0:
         raise CorruptError("native resolve failed")
-    return out[: got.value]
+    return out[plen : plen + got.value]
 
 
 def adler32(data: bytes) -> int:

@@ -127,7 +127,7 @@ int zscan(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
           int32_t* toks_val, int32_t* toks_dist, int64_t max_toks,
           BlockRec* blocks, int64_t max_blocks,
           int64_t* anchor_bit, int64_t* anchor_out, int32_t* anchor_block,
-          int64_t max_anchors, int64_t anchor_every,
+          int64_t max_anchors, int64_t anchor_every, int64_t dict_len,
           int64_t* n_toks_out, int64_t* n_blocks_out, int64_t* n_anchors_out,
           int64_t* end_bit_out, int64_t* out_len_out,
           int64_t* crossing_out) {
@@ -251,7 +251,7 @@ int zscan(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
           if (dsym > 29) return Z_ERR_CORRUPT;
           uint32_t dist = kDistBase[dsym] + br.get(kDistExtra[dsym]);
           if (br.overrun) return Z_ERR_TRUNC;
-          if ((int64_t)dist > out) return Z_ERR_CORRUPT;
+          if ((int64_t)dist > out + dict_len) return Z_ERR_CORRUPT;
           if ((int64_t)dist > out - B.out_start) crossing = 1;
           if (ntok >= max_toks) return Z_ERR_TOK_CAP;
           toks_val[ntok] = (int32_t)length;
@@ -279,9 +279,12 @@ int zscan(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
 }
 
 // Sequential LZ resolve: tokens → output bytes (host fallback path).
+// ``out`` may be pre-seeded with ``prefix_len`` bytes of preset dictionary;
+// resolution starts after them and ``out_len`` excludes them.
 int zresolve(const int32_t* toks_val, const int32_t* toks_dist, int64_t ntok,
-             uint8_t* out, int64_t out_cap, int64_t* out_len) {
-  int64_t o = 0;
+             uint8_t* out, int64_t out_cap, int64_t* out_len,
+             int64_t prefix_len) {
+  int64_t o = prefix_len;
   for (int64_t t = 0; t < ntok; t++) {
     int32_t d = toks_dist[t];
     if (d == 0) {
@@ -300,7 +303,7 @@ int zresolve(const int32_t* toks_val, const int32_t* toks_dist, int64_t ntok,
       o += len;
     }
   }
-  *out_len = o;
+  *out_len = o - prefix_len;
   return Z_OK;
 }
 

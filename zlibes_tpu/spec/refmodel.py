@@ -372,16 +372,25 @@ class StreamIndex:
                            z["anchor_block"], bool(z["self_contained"][0]))
 
 
-def inflate_raw(data: bytes, byte_offset: int = 0) -> InflateResult:
-    """Decode a raw DEFLATE stream (reference analog src/inflate.ts:16-292)."""
+def inflate_raw(data: bytes, byte_offset: int = 0,
+                dictionary: bytes | None = None) -> InflateResult:
+    """Decode a raw DEFLATE stream (reference analog src/inflate.ts:16-292).
+
+    ``dictionary``: preset window contents (RFC 1950 FDICT) — back-references
+    may reach into it; it is not part of the output.
+    """
     br = BitReader(data, byte_offset)
+    dict_len = 0
     out = bytearray()
+    if dictionary:
+        out += dictionary[-C.WINDOW_SIZE:]
+        dict_len = len(out)
     blocks: list[BlockInfo] = []
     while True:
         start_bit = br.bitpos
         bfinal = br.read_bits(1)
         btype = br.read_bits(2)
-        out_start = len(out)
+        out_start = len(out) - dict_len
         if btype == C.BTYPE_STORED:
             br.align_to_byte()
             payload_start = br.bitpos
@@ -433,19 +442,22 @@ def inflate_raw(data: bytes, byte_offset: int = 0) -> InflateResult:
                 payload_start_bit=payload_start,
                 end_bit=br.bitpos,
                 out_start=out_start,
-                out_len=len(out) - out_start,
+                out_len=len(out) - dict_len - out_start,
             )
         )
         if bfinal:
             break
-    return InflateResult(data=bytes(out), blocks=blocks, end_bit=br.bitpos)
+    return InflateResult(data=bytes(out[dict_len:]), blocks=blocks,
+                         end_bit=br.bitpos)
 
 
-def inflate(data: bytes, verify_checksum: bool = True) -> bytes:
+def inflate(data: bytes, verify_checksum: bool = True,
+            dictionary: bytes | None = None) -> bytes:
     """zlib-container inflate (RFC 1950; reference analog src/zlib.ts:11-23).
 
-    Unlike the reference we validate FCHECK, reject FDICT, and verify the
-    Adler-32 trailer (SURVEY.md §3.2 notes the reference skips all three).
+    Unlike the reference we validate FCHECK, verify the Adler-32 trailer
+    (SURVEY.md §3.2 notes the reference skips both), and support preset
+    dictionaries (FDICT) — the reference rejects none and supports none.
     """
     if len(data) < 6:
         raise TruncatedError("zlib stream shorter than minimal frame")
@@ -456,9 +468,19 @@ def inflate(data: bytes, verify_checksum: bool = True) -> bytes:
         raise HeaderError("invalid CINFO (window > 32 KiB)")
     if (cmf * 256 + flg) % 31 != 0:
         raise HeaderError("FCHECK failed")
+    offset = 2
     if flg & 0x20:
-        raise HeaderError("preset dictionary (FDICT) not supported")
-    res = inflate_raw(data, byte_offset=2)
+        if dictionary is None:
+            raise HeaderError("stream requires a preset dictionary (FDICT)")
+        if len(data) < 10:
+            raise TruncatedError("missing DICTID")
+        dictid = int.from_bytes(data[2:6], "big")
+        if dictid != adler32(dictionary):
+            raise HeaderError("DICTID does not match supplied dictionary")
+        offset = 6
+    elif dictionary is not None:
+        dictionary = None  # stream does not use it
+    res = inflate_raw(data, byte_offset=offset, dictionary=dictionary)
     if verify_checksum:
         trailer_pos = (res.end_bit + 7) >> 3
         if trailer_pos + 4 > len(data):
@@ -476,7 +498,7 @@ def inflate(data: bytes, verify_checksum: bool = True) -> bytes:
 
 
 def lz77_greedy(block: np.ndarray, max_candidates: int = 128,
-                lazy: bool = True) -> list[tuple]:
+                lazy: bool = True, start: int = 0) -> list[tuple]:
     """LZ77 tokenization of one block (reference analog src/lz77.ts).
 
     Matches are intra-block only (the reference indexes only the block's own
@@ -489,11 +511,14 @@ def lz77_greedy(block: np.ndarray, max_candidates: int = 128,
     optional one-step lazy matching (defer a match when the next position
     has a longer one) — strictly stronger than the reference's capped
     newest-first greedy scan, which config[3] "size ≤ reference" requires.
+
+    ``start``: tokenize only ``block[start:]`` — earlier bytes are context
+    (a preset dictionary) that matches may reference but never cover.
     """
     n = block.size
     tokens: list[tuple] = []
-    if n < C.MIN_MATCH:
-        for b in block:
+    if n - start < C.MIN_MATCH:
+        for b in block[start:]:
             tokens.append((int(b),))
         return tokens
     data = block.astype(np.int64)
@@ -532,7 +557,7 @@ def lz77_greedy(block: np.ndarray, max_candidates: int = 128,
             tries -= 1
         return best_len, best_dist
 
-    i = 0
+    i = start
     while i < n:
         if i >= n - 2:
             tokens.append((int(block[i]),))
@@ -684,6 +709,7 @@ def deflate_raw(
     block_size: int = C.BLOCK_MAX_BUFFER_LEN,
     with_index: bool = False,
     anchor_every: int = 4096,
+    dictionary: bytes | None = None,
 ):
     """Encode a raw DEFLATE stream of dynamic blocks (analog src/deflate.ts).
 
@@ -711,8 +737,13 @@ def deflate_raw(
                                     payload_start, bw.bit_length, out_start, 0))
             continue
         bw.write_bits(C.BTYPE_DYNAMIC, 2)
+        if bi == 0 and dictionary:
+            ctx = np.frombuffer(dictionary[-C.WINDOW_SIZE:], dtype=np.uint8)
+            tokens = lz77_greedy(np.concatenate([ctx, block]), start=ctx.size)
+        else:
+            tokens = lz77_greedy(block)
         blk_anchors = _write_dynamic_block(
-            bw, lz77_greedy(block),
+            bw, tokens,
             anchor_every=anchor_every if with_index else None,
             out_start=out_start,
         )
@@ -737,11 +768,23 @@ def deflate(
     block_size: int = C.BLOCK_MAX_BUFFER_LEN,
     with_index: bool = False,
     anchor_every: int = 4096,
+    dictionary: bytes | None = None,
 ):
-    """zlib-container deflate (reference analog src/zlib.ts:25-49)."""
+    """zlib-container deflate (reference analog src/zlib.ts:25-49).
+
+    ``dictionary`` sets FDICT and emits the DICTID; the first block's
+    matches may reference the dictionary (RFC 1950 §2.2).
+    """
     trailer = adler32(data).to_bytes(4, "big")
+    if dictionary:
+        flg_base = 0x78 * 256 + 0x20 + (2 << 6)
+        flg = 0x20 + (2 << 6) + (31 - flg_base % 31) % 31
+        header = bytes([0x78, flg]) + adler32(dictionary).to_bytes(4, "big")
+    else:
+        header = C.ZLIB_HEADER
     if with_index:
-        body, index = deflate_raw(data, block_size, True, anchor_every)
-        return C.ZLIB_HEADER + body + trailer, index.shifted(16)
-    body = deflate_raw(data, block_size)
-    return C.ZLIB_HEADER + body + trailer
+        body, index = deflate_raw(data, block_size, True, anchor_every,
+                                  dictionary=dictionary)
+        return header + body + trailer, index.shifted(len(header) * 8)
+    body = deflate_raw(data, block_size, dictionary=dictionary)
+    return header + body + trailer
