@@ -89,26 +89,38 @@ def find_matches(
 
     limit = jnp.minimum(n_valid[:, None] - spos, C.MAX_MATCH)
 
-    best_ml = jnp.zeros((B, N), jnp.int32)
-    best_dist = jnp.zeros((B, N), jnp.int32)
-    for jj in range(1, J + 1):
-        cpos = jnp.pad(spos, ((0, 0), (jj, 0)))[:, :N]
-        ckey = jnp.pad(skey, ((0, 0), (jj, 0)), constant_values=-1)[:, :N]
+    # candidate loop as fori_loop (compile-time stays O(S), not O(S*J));
+    # pad once, slide with dynamic slices
+    spos_p = jnp.pad(spos, ((0, 0), (J, 0)))
+    skey_p = jnp.pad(skey, ((0, 0), (J, 0)), constant_values=-1)
+    probes_p = [jnp.pad(p, ((0, 0), (J, 0))) for p in probes]
+
+    def cand_body(jj, best):
+        best_ml, best_dist = best
+
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(a, J - jj, N, axis=1)
+
+        cpos = sl(spos_p)
+        ckey = sl(skey_p)
         dist = spos - cpos
         ok = (ckey == skey) & (dist >= 1) & (dist <= C.WINDOW_SIZE)
         ml = jnp.zeros((B, N), jnp.int32)
         done = jnp.zeros((B, N), jnp.bool_)
         for s in range(S):
-            a = probes[s]
-            b = jnp.pad(probes[s], ((0, 0), (jj, 0)))[:, :N]
-            t = _trailing_eq_bytes(a ^ b)
+            t = _trailing_eq_bytes(probes[s] ^ sl(probes_p[s]))
             ml = ml + jnp.where(done, 0, t)
             done = done | (t < 4)
         ml = jnp.minimum(ml, limit)
         ml = jnp.where(ok & (ml >= C.MIN_MATCH), ml, 0)
         better = ml > best_ml
-        best_ml = jnp.where(better, ml, best_ml)
-        best_dist = jnp.where(better, dist, best_dist)
+        return (jnp.where(better, ml, best_ml),
+                jnp.where(better, dist, best_dist))
+
+    best_ml, best_dist = jax.lax.fori_loop(
+        1, J + 1, cand_body,
+        (jnp.zeros((B, N), jnp.int32), jnp.zeros((B, N), jnp.int32)),
+    )
 
     packed_sorted = (best_ml << 16) | best_dist
     # scatter back to position order

@@ -5,3 +5,5 @@ from .block_parallel import (  # noqa: F401
     sharded_deflate_step,
     sharded_inflate_step,
 )
+from . import multihost  # noqa: F401
+from .batch import compress_batch, decompress_batch  # noqa: F401

@@ -1,0 +1,55 @@
+"""Multi-host runtime glue (SURVEY.md §2 "Multi-host runtime").
+
+One process per host, ``jax.distributed.initialize``, then the same
+block-parallel codec runs over the global mesh: collectives ride ICI
+within a slice and DCN across hosts — the code path is identical, the
+mesh is just bigger.  On a single machine this module is exercised with
+the virtual CPU mesh (the driver's ``dryrun_multichip``); a real pod run
+only changes ``initialize()`` arguments.
+
+Typical pod usage (one process per host):
+
+    from zlibes_tpu.parallel import multihost
+    multihost.initialize()            # env-driven (TPU pods auto-detect)
+    mesh = multihost.global_mesh()
+    comp = parallel_deflate(data, mesh)   # each host feeds its shard
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Bring up the multi-process runtime (idempotent).
+
+    With no arguments, relies on the platform's auto-detection (TPU pods
+    populate the coordinator env vars).  Explicit arguments support
+    CPU/GPU multi-process testing.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
+def global_mesh() -> Mesh:
+    """1-D mesh over every device of every participating process."""
+    return Mesh(np.array(jax.devices()), ("blocks",))
+
+
+def host_shard(total_blocks: int) -> tuple[int, int]:
+    """This process's contiguous [start, end) block range for input feeding
+    (addressable-shard convention: block i lives on global device i % D)."""
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    per = -(-total_blocks // nproc)
+    return pid * per, min(total_blocks, (pid + 1) * per)
