@@ -38,7 +38,10 @@ def main() -> None:
 
     _log(f"devices: {jax.devices()}")
     raw = (Path(__file__).parent / "tests" / "golden" / "raw.bin").read_bytes()
-    data = raw * 8  # ~3.8 MB
+    # ~3.8 MB of corpus-like data: rotated copies (verbatim x8 repetition
+    # would manufacture pathological cross-copy back-reference chains that
+    # no real mixed corpus exhibits)
+    data = b"".join(raw[i * 60000 :] + raw[: i * 60000] for i in range(8))
     t0 = time.perf_counter()
     comp, index = dp.deflate(data, with_index=True)
     _log(f"deflate done ({time.perf_counter()-t0:.0f}s incl. compile), "

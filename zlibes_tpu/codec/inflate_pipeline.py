@@ -319,15 +319,21 @@ def plan_groups(data: bytes, index: StreamIndex) -> list[_GroupPlan]:
         d_tab = np.zeros((NB, 1 << p.D), dtype=np.int32)
         ll_tab[: len(block_ids)] = huffman.build_litlen_tables(ll_lens, p.M)
         d_tab[: len(block_ids)] = huffman.build_dist_tables(d_lens, p.D)
-        p.ll_tab, p.d_tab = ll_tab, d_tab
-        p.bit0 = np.zeros(Bp, np.int32)
-        p.endb = np.zeros(Bp, np.int32)
-        p.rows = np.zeros(Bp, np.int32)
-        p.active = np.zeros(Bp, bool)
-        p.bit0[:B] = lane_bit0[g0:g1]
-        p.endb[:B] = lane_end[g0:g1]
-        p.rows[:B] = [row_of[int(b)] for b in lane_block[g0:g1]]
-        p.active[:B] = True
+        bit0 = np.zeros(Bp, np.int32)
+        endb = np.zeros(Bp, np.int32)
+        rows = np.zeros(Bp, np.int32)
+        active = np.zeros(Bp, bool)
+        bit0[:B] = lane_bit0[g0:g1]
+        endb[:B] = lane_end[g0:g1]
+        rows[:B] = [row_of[int(b)] for b in lane_block[g0:g1]]
+        active[:B] = True
+        # upload once at plan time (tables dominate H2D traffic)
+        p.ll_tab = jnp.asarray(ll_tab)
+        p.d_tab = jnp.asarray(d_tab)
+        p.bit0 = jnp.asarray(bit0)
+        p.endb = jnp.asarray(endb)
+        p.rows = jnp.asarray(rows)
+        p.active = jnp.asarray(active)
         p.lane_end = lane_end[g0:g1]
         p.B = B
         p.T = T
@@ -335,8 +341,9 @@ def plan_groups(data: bytes, index: StreamIndex) -> list[_GroupPlan]:
         p.d_total = int(lane_out[g1 - 1] + lane_outlen[g1 - 1]) - p.d_base
         # full-size groups always resolve at O=2^23 → one compiled program
         p.O = (1 << 23) if len(groups) > 1 else _bucket(p.d_total, lo=4096)
-        p.out_base = np.zeros(Bp, np.int32)
-        p.out_base[:B] = lane_out[g0:g1] - p.d_base
+        out_base = np.zeros(Bp, np.int32)
+        out_base[:B] = lane_out[g0:g1] - p.d_base
+        p.out_base = jnp.asarray(out_base)
         plans.append(p)
     return plans
 
@@ -351,9 +358,8 @@ def run_group(stream: _Stream, p: _GroupPlan, check: bool = True,
     returned array has the prefix at [0, P); payload at [P, P+d_total).
     """
     tv, td, cnt, endpos, still, err = decode_tokens(
-        stream.w32, stream.bytes, jnp.asarray(p.ll_tab), jnp.asarray(p.d_tab),
-        jnp.asarray(p.rows), jnp.asarray(p.bit0), jnp.asarray(p.endb),
-        jnp.asarray(p.active), T=p.T, M=p.M, D=p.D,
+        stream.w32, stream.bytes, p.ll_tab, p.d_tab,
+        p.rows, p.bit0, p.endb, p.active, T=p.T, M=p.M, D=p.D,
     )
     if check:
         if np.asarray(err)[: p.B].any() or np.asarray(still)[: p.B].any():
@@ -361,7 +367,7 @@ def run_group(stream: _Stream, p: _GroupPlan, check: bool = True,
         if not (np.asarray(endpos)[: p.B] == p.lane_end).all():
             raise CorruptError("lane did not end at its anchor boundary")
     P = 0 if prefix is None else prefix.size
-    out_base = p.out_base + P if P else p.out_base
+    out_base = np.asarray(p.out_base) + P if P else p.out_base
     dev_out, rerr = resolve_global(
         tv, td, cnt, jnp.asarray(out_base), jnp.int32(P + p.d_total),
         jnp.zeros(0, jnp.uint8) if prefix is None else jnp.asarray(prefix),

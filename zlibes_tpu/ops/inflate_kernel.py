@@ -99,15 +99,23 @@ def decode_tokens(
 
     def body(state):
         t, bitpos, active, err, count, toks_val, toks_dist = state
-        w = _window(w32, bytes_u8, bitpos)
+        # one 64-bit window (two gathers) serves both lookups: the dist
+        # code starts ≤20 bits in, needs ≤28 more → bit 48 < 55 available
+        p = (bitpos >> 3).astype(jnp.int32)
+        s = (bitpos & 7).astype(jnp.uint32)
+        A = w32[p]
+        Bw = w32[p + 4]
+        w = jnp.where(s == 0, A, (A >> s) | (Bw << (jnp.uint32(32) - s)))
+        whi = Bw >> s
         e = ll_flat[lane_ll + (w & mmask).astype(jnp.int32)]
         L = (e & 15).astype(jnp.uint32)
         kind = (e >> 4) & 3
         val = (e >> 6) & 1023
         eb = ((e >> 16) & 7).astype(jnp.uint32)
         length = val + ((w >> L) & ((jnp.uint32(1) << eb) - 1)).astype(jnp.int32)
-        p2 = bitpos + (L + eb).astype(jnp.int32)
-        w2 = _window(w32, bytes_u8, p2)
+        k = L + eb  # 1..20
+        p2 = bitpos + k.astype(jnp.int32)
+        w2 = (w >> k) | (whi << (jnp.uint32(32) - k))
         de = d_flat[lane_d + (w2 & dmask).astype(jnp.int32)]
         dL = (de & 15).astype(jnp.uint32)
         deb = ((de >> 4) & 15).astype(jnp.uint32)
@@ -209,14 +217,48 @@ def resolve_global(
     literal_val = jnp.where(q < P, pref_vals, v_q)
     state = jnp.where(incopy, src << 8, literal_val | flag)
 
-    def cond(state):
-        return jnp.any(state >= 0)
-
-    def body(state):
-        # follow one hop: a resolved source yields its value, an unresolved
-        # one yields its own (compressed) source pointer
+    def full_round(state):
+        # one hop with path doubling: a resolved source yields its value,
+        # an unresolved one yields its own (already-jumped) source pointer
         e2 = state[jnp.where(state >= 0, state >> 8, 0)]
         return jnp.where(state < 0, state, e2)
 
-    state = jax.lax.while_loop(cond, body, state)
+    # phase 1: a few full-width doubling rounds resolve chains of depth
+    # ≤ 2^5 (the overwhelming majority of real data)
+    for _ in range(5):
+        state = full_round(state)
+
+    # phase 2: compact the unresolved tail and iterate on the small set
+    # (deep chains — periodic data — are rare but unbounded)
+    A = max(O // 8, 1024)
+    unres = state >= 0
+    pos = jnp.cumsum(unres.astype(jnp.int32)) - 1
+    n_unres = pos[-1] + 1
+    cq = jnp.zeros(A, jnp.int32).at[
+        jnp.where(unres & (pos < A), pos, A)
+    ].set(q, mode="drop")
+
+    def tail_cond(carry):
+        state, active = carry
+        return jnp.any(active)
+
+    def tail_body(carry):
+        state, _ = carry
+        sq = state[cq]
+        e2 = state[jnp.where(sq >= 0, sq >> 8, 0)]
+        newv = jnp.where(sq < 0, sq, e2)
+        state = state.at[cq].set(newv)
+        return state, newv >= 0
+
+    def compact_path(state):
+        state, _ = jax.lax.while_loop(
+            tail_cond, tail_body, (state, state[cq] >= 0))
+        return state
+
+    def full_path(state):
+        # unresolved tail didn't fit the compact buffer: plain doubling
+        return jax.lax.while_loop(
+            lambda s: jnp.any(s >= 0), full_round, state)
+
+    state = jax.lax.cond(n_unres <= A, compact_path, full_path, state)
     return (state & 0xFF).astype(jnp.uint8), err
