@@ -228,7 +228,8 @@ def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN,
         with stats.timer("match"), trace("zlibes.match"):
             if cfg.candidates > 0:
                 matches = find_matches(dev_bytes, dev_nv, N=N,
-                                       S=cfg.probe_words, J=cfg.candidates)
+                                       S=cfg.probe_words, J=cfg.candidates,
+                                       reset=cfg.chunk_reset)
             else:  # level 0: literals only
                 matches = jnp.zeros((Bp, N), jnp.int32)
         with stats.timer("select"), trace("zlibes.select"):
@@ -391,6 +392,7 @@ def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN,
         np.asarray(anchor_bit, np.int64),
         np.asarray(anchor_out, np.int64),
         np.asarray(anchor_block, np.int32),
+        chunk_reset=cfg.chunk_reset,
     )
     return body, index
 

@@ -25,6 +25,17 @@ class CodecConfig:
     lazy: bool = True          # one-step lazy matching
     blocks_per_dispatch: int = 16
     force_stored: bool = False  # level 0: raw stored blocks, no coding
+    chunk_reset: int = 0  # >0 (power of two ≤ seg_size): LZ window resets
+    # every chunk_reset output bytes, making every chunk independently
+    # resolvable — unlocks the Pallas lock-step inflate path at a small
+    # ratio cost (the "turbo" profile); 0 keeps the full 32 KiB window
+
+    def __post_init__(self):
+        if self.chunk_reset:
+            if self.chunk_reset & (self.chunk_reset - 1):
+                raise ValueError("chunk_reset must be a power of two")
+            if self.seg_size != self.chunk_reset:
+                object.__setattr__(self, "seg_size", self.chunk_reset)
 
     @staticmethod
     def from_level(level: int) -> "CodecConfig":

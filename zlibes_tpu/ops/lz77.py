@@ -51,13 +51,17 @@ def _trailing_eq_bytes(x: jax.Array) -> jax.Array:
     )
 
 
-@partial(jax.jit, static_argnames=("N", "S", "J"))
+@partial(jax.jit, static_argnames=("N", "S", "J", "reset"))
 def find_matches(
     data: jax.Array,   # uint8 (B, N + 8) padded block bytes
     n_valid: jax.Array,  # int32 (B,) true byte count per block
     N: int,
     S: int = S_WORDS,  # probe words (match length cap = 4*S + 3)
     J: int = J_CANDS,  # sorted-order candidates per position
+    reset: int = 0,    # window reset span (power of two): matches never
+                       # reach back across a reset boundary, making every
+                       # ``reset``-byte chunk independently resolvable (the
+                       # fuel for the Pallas lock-step inflate kernels)
 ):
     """Best match per position: packed int32 ``(len << 16) | dist``.
 
@@ -105,6 +109,9 @@ def find_matches(
         ckey = sl(skey_p)
         dist = spos - cpos
         ok = (ckey == skey) & (dist >= 1) & (dist <= C.WINDOW_SIZE)
+        if reset:
+            assert reset & (reset - 1) == 0, "reset must be a power of two"
+            ok = ok & ((cpos // reset) == (spos // reset))
         ml = jnp.zeros((B, N), jnp.int32)
         done = jnp.zeros((B, N), jnp.bool_)
         for s in range(S):
@@ -141,6 +148,8 @@ def find_matches(
         n_valid[:, None] - pos,
     )
     run_ok = (run_ml >= C.MIN_MATCH) & (pos >= 1)
+    if reset:
+        run_ok = run_ok & (pos % reset != 0)  # dist-1 source is pos-1
     cur_ml = packed >> 16
     use_run = run_ok & (run_ml > cur_ml)
     packed = jnp.where(use_run, (run_ml << 16) | 1, packed)

@@ -330,6 +330,9 @@ class StreamIndex:
     anchor_out: np.ndarray    # int64[NA] absolute output offsets
     anchor_block: np.ndarray  # int32[NA] owning block id
     self_contained: bool = True  # no back-references across block boundaries
+    chunk_reset: int = 0  # >0: no back-reference crosses a ``chunk_reset``-
+    # byte output boundary (encoder window resets) — every anchor chunk is
+    # independently resolvable, enabling the Pallas lock-step inflate path
 
     @property
     def total_out(self) -> int:
@@ -347,7 +350,8 @@ class StreamIndex:
             for b in self.blocks
         ]
         return StreamIndex(blocks, self.anchor_bit + bits, self.anchor_out,
-                           self.anchor_block, self.self_contained)
+                           self.anchor_block, self.self_contained,
+                           self.chunk_reset)
 
     def save(self, path) -> None:
         """Persist the sidecar index (reload with StreamIndex.load)."""
@@ -358,7 +362,8 @@ class StreamIndex:
         )
         np.savez(path, blocks=blk, anchor_bit=self.anchor_bit,
                  anchor_out=self.anchor_out, anchor_block=self.anchor_block,
-                 self_contained=np.array([self.self_contained]))
+                 self_contained=np.array([self.self_contained]),
+                 chunk_reset=np.array([self.chunk_reset]))
 
     @staticmethod
     def load(path) -> "StreamIndex":
@@ -369,7 +374,8 @@ class StreamIndex:
             for r in z["blocks"]
         ]
         return StreamIndex(blocks, z["anchor_bit"], z["anchor_out"],
-                           z["anchor_block"], bool(z["self_contained"][0]))
+                           z["anchor_block"], bool(z["self_contained"][0]),
+                           int(z["chunk_reset"][0]) if "chunk_reset" in z else 0)
 
 
 def inflate_raw(data: bytes, byte_offset: int = 0,
