@@ -99,3 +99,20 @@ def test_corrupt_stream_detected():
     with pytest.raises((errors.CorruptError, errors.ChecksumError,
                         errors.TruncatedError, errors.StoredBlockError)):
         ip.inflate(bytes(comp))
+
+
+def test_inflate_range():
+    """Seekable random-access decode via the sidecar index (SURVEY.md §5
+    checkpoint/resume: per-block index makes decode restartable)."""
+    rng = np.random.default_rng(7)
+    data = RAW[:200000] + rng.integers(0, 256, 5000, dtype=np.uint8).tobytes()
+    comp, index = rm.deflate(data, block_size=32768, with_index=True,
+                             anchor_every=2048)
+    for start, length in [(0, 100), (1, 1), (50000, 40000), (100000, 0),
+                          (len(data) - 17, 17), (32768 - 5, 10), (0, len(data))]:
+        assert ip.inflate_range(comp, index, start, length) == \
+            data[start : start + length]
+    with pytest.raises(ValueError):
+        ip.inflate_range(comp, index, 0, len(data) + 1)
+    with pytest.raises(ValueError):
+        ip.inflate_range(comp, index, -1, 5)

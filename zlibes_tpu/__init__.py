@@ -16,6 +16,7 @@ from .codec.api import (  # noqa: F401
     deflate,
     deflate_indexed,
     inflate,
+    inflate_range,
     inflate_to_device,
 )
 from .spec import constants, errors  # noqa: F401
@@ -24,6 +25,7 @@ from .config import CodecConfig, CodecStats  # noqa: F401
 
 __version__ = "0.1.0"
 __all__ = [
-    "deflate", "deflate_indexed", "inflate", "inflate_to_device",
-    "build_index", "StreamIndex", "CodecConfig", "CodecStats", "constants", "errors",
+    "deflate", "deflate_indexed", "inflate", "inflate_range",
+    "inflate_to_device", "build_index", "StreamIndex", "CodecConfig",
+    "CodecStats", "constants", "errors",
 ]

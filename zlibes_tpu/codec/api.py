@@ -104,6 +104,19 @@ def inflate_to_device(data: bytes, index):
     return ip.inflate_to_device(bytes(data), index)
 
 
+def inflate_range(data: bytes, index, start: int, length: int) -> bytes:
+    """Random-access decode: output bytes [start, start+length) only.
+
+    Seekable reads over a compressed stream using its sidecar StreamIndex —
+    decodes just the self-contained blocks covering the range, so cost is
+    O(length + block_size) regardless of stream size.
+    """
+    _, ip = _tpu_modules()
+    if ip is None:
+        raise RuntimeError("TPU pipeline unavailable")
+    return ip.inflate_range(bytes(data), index, start, length)
+
+
 def build_index(data: bytes, anchor_every: int = 4096):
     """Scan any conformant zlib stream into a StreamIndex (block layout +
     decode anchors) for subsequent anchor-parallel/seekable decodes —

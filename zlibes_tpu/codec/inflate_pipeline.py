@@ -412,6 +412,50 @@ def inflate_raw_indexed(data: bytes, index: StreamIndex) -> np.ndarray:
     return out
 
 
+def inflate_range(data: bytes, index: StreamIndex, start: int,
+                  length: int) -> bytes:
+    """Random-access decode of output bytes [start, start+length).
+
+    The sidecar StreamIndex makes decode seekable/restartable (SURVEY.md §5
+    "checkpoint/resume": the per-block index is the restartable unit the
+    reference's 128 KiB block split hints at but never exposes).  Only the
+    self-contained blocks overlapping the range are decoded, so cost is
+    O(length + block_size) regardless of stream size.
+
+    ``start``/``length`` address *decompressed* output coordinates; the
+    container header offset is already baked into the index bit offsets.
+    """
+    total = index.total_out
+    if start < 0 or length < 0 or start + length > total:
+        raise ValueError(
+            f"range [{start}, {start + length}) outside output [0, {total})")
+    if not getattr(index, "self_contained", True):
+        raise CorruptError(
+            "inflate_range requires self-contained blocks (indexes from this "
+            "framework's encoder); foreign chained streams must decode from "
+            "the start")
+    if length == 0:
+        return b""
+    end = start + length
+    keep = [i for i, b in enumerate(index.blocks)
+            if b.out_len and b.out_start < end and b.out_start + b.out_len > start]
+    out_lo = index.blocks[keep[0]].out_start
+    keep_arr = np.asarray(keep, np.int32)
+    mask = np.isin(index.anchor_block, keep_arr)
+    sub = StreamIndex(
+        [BlockInfo(b.btype, b.bfinal, b.start_bit, b.payload_start_bit,
+                   b.end_bit, b.out_start - out_lo, b.out_len)
+         for b in (index.blocks[i] for i in keep)],
+        index.anchor_bit[mask],
+        index.anchor_out[mask] - out_lo,
+        np.searchsorted(keep_arr, index.anchor_block[mask]).astype(np.int32),
+        True,
+        getattr(index, "chunk_reset", 0),
+    )
+    out = inflate_raw_indexed(data, sub)
+    return out[start - out_lo : end - out_lo].tobytes()
+
+
 def inflate_to_device(data: bytes, index: StreamIndex):
     """Decompress into device memory: returns (list of (device_array, base,
     nbytes)) without any device→host transfer of payload data.
