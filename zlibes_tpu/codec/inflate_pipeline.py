@@ -366,6 +366,12 @@ def run_group(stream: _Stream, p: _GroupPlan, check: bool = True,
             raise CorruptError("invalid Huffman data in indexed block")
         if not (np.asarray(endpos)[: p.B] == p.lane_end).all():
             raise CorruptError("lane did not end at its anchor boundary")
+    # slice the token axis to the occupied prefix: indexed ops cost ~7 ns
+    # per index on TPU, so resolve's token scatters scale with B*T — the
+    # worst-case T (all-literal lane) is ~8x the typical token count
+    Tc = _bucket(int(cnt.max()) + 1, lo=256)
+    if Tc < p.T:
+        tv, td = tv[:, :Tc], td[:, :Tc]
     P = 0 if prefix is None else prefix.size
     out_base = np.asarray(p.out_base) + P if P else p.out_base
     dev_out, rerr = resolve_global(

@@ -168,6 +168,13 @@ def resolve_global(
     are served by the prefix.  Returns (out (O,) uint8, err scalar) where
     err marks references below coordinate 0.  O ≤ 2^23 (source positions
     pack into 23 bits of the combined resolve state).
+
+    Cost model (measured on TPU v5e): irregular indexed ops run at ~7 ns
+    per *index* regardless of width, so the design minimizes indexed
+    passes: ONE token scatter (packed val|dist), ONE token-start scatter +
+    cummax forward-fill (replacing a marks-scatter + per-byte gathers),
+    and ONE per-byte gather for token metadata; then pointer-doubling
+    rounds touch only the shrinking unresolved set (sort-compacted).
     """
     assert O <= 1 << 23, "resolve dispatch output must be ≤ 8 MiB"
     B, T = toks_val.shape
@@ -177,31 +184,27 @@ def resolve_global(
     is_copy = valid & (toks_dist > 0)
     tok_len = jnp.where(valid, jnp.where(is_copy, toks_val, 1), 0)
     ends = jnp.cumsum(tok_len, axis=1)
-    g_start = out_base[:, None] + ends - tok_len
+    g_end = out_base[:, None] + ends
+    g_start = g_end - tok_len
 
-    # compact tokens into global-ordinal arrays (lane-major order == output order)
-    tok_base = jnp.cumsum(count) - count
-    tok_ord = jnp.where(valid, tok_base[:, None] + tidx, B * T)
-    ordf = tok_ord.reshape(-1)
-    comp_val = jnp.zeros(B * T, jnp.int32).at[ordf].set(
-        toks_val.reshape(-1), mode="drop")
-    comp_dist = jnp.zeros(B * T, jnp.int32).at[ordf].set(
-        toks_dist.reshape(-1), mode="drop")
-    comp_start = jnp.zeros(B * T, jnp.int32).at[ordf].set(
+    # Tokens overlapping [P, O) scatter at their first in-window byte.
+    # Positions are unique: at most one token can straddle any boundary,
+    # and tokens ending at/before P are dropped.
+    in_win = valid & (g_end > P) & (g_start < O)
+    posf = jnp.where(in_win, jnp.maximum(g_start, P), O).reshape(-1)
+    # val ≤ 258 (9 bits) << 16 | dist ≤ 32768 (16 bits): one packed scatter
+    packed = ((toks_val << 16) | toks_dist).reshape(-1)
+    svd = jnp.zeros(O, jnp.int32).at[posf].set(packed, mode="drop")
+    # forward-fill the covering token's true start (monotonic → cummax)
+    sstart = jnp.full(O, -1, jnp.int32).at[posf].set(
         g_start.reshape(-1), mode="drop")
+    o_q = jax.lax.cummax(sstart)
 
-    # map output position → producing token ordinal (straddling tokens mark
-    # their first in-window position)
-    clipped = jnp.maximum(g_start, P)
-    starts_f = jnp.where(valid & (clipped < O), clipped, O).reshape(-1)
-    marks = jnp.zeros(O, jnp.int32).at[starts_f].add(1, mode="drop")
-    tok_of = jnp.cumsum(marks) - 1
-    tok_of = jnp.clip(tok_of, 0, B * T - 1)
-
-    d_q = comp_dist[tok_of]
-    v_q = comp_val[tok_of]
-    o_q = comp_start[tok_of]
+    # ONE per-byte gather: token metadata lives at the token's scatter slot
     q = jnp.arange(O, dtype=jnp.int32)
+    vd = svd[jnp.clip(jnp.maximum(o_q, P), 0, O - 1)]
+    d_q = vd & 0xFFFF
+    v_q = vd >> 16
     incopy = (d_q > 0) & (q >= P) & (q < total)
     dsafe = jnp.maximum(d_q, 1)
     src = jnp.where(incopy, o_q - d_q + ((q - o_q) % dsafe), q)
@@ -214,8 +217,8 @@ def resolve_global(
     flag = jnp.int32(-0x80000000)
     pref_pad = jnp.zeros(O - P, dtype=jnp.uint8)
     pref_vals = jnp.concatenate([prefix, pref_pad]).astype(jnp.int32)
-    literal_val = jnp.where(q < P, pref_vals, v_q)
-    state = jnp.where(incopy, src << 8, literal_val | flag)
+    literal_val = jnp.where(q < P, pref_vals, v_q & 0x1FF)
+    state = jnp.where(incopy, src << 8, (literal_val & 0xFF) | flag)
 
     def full_round(state):
         # one hop with path doubling: a resolved source yields its value,
@@ -223,20 +226,29 @@ def resolve_global(
         e2 = state[jnp.where(state >= 0, state >> 8, 0)]
         return jnp.where(state < 0, state, e2)
 
-    # phase 1: a few full-width doubling rounds resolve chains of depth
-    # ≤ 2^5 (the overwhelming majority of real data)
-    for _ in range(5):
-        state = full_round(state)
-
-    # phase 2: compact the unresolved tail and iterate on the small set
-    # (deep chains — periodic data — are rare but unbounded)
+    # phase 1: full-width doubling rounds (one 7 ns gather per byte per
+    # round, depth halves each round) while the unresolved set is too big
+    # to be worth compacting
     A = max(O // 8, 1024)
-    unres = state >= 0
-    pos = jnp.cumsum(unres.astype(jnp.int32)) - 1
-    n_unres = pos[-1] + 1
-    cq = jnp.zeros(A, jnp.int32).at[
-        jnp.where(unres & (pos < A), pos, A)
-    ].set(q, mode="drop")
+
+    def phase1_cond(carry):
+        state, n = carry
+        return n > A
+
+    def phase1_body(carry):
+        state, _ = carry
+        state = full_round(state)
+        return state, jnp.sum((state >= 0).astype(jnp.int32))
+
+    state, n_unres = jax.lax.while_loop(
+        phase1_cond, phase1_body,
+        (state, jnp.sum((state >= 0).astype(jnp.int32))))
+
+    # phase 2: sort-compact the unresolved positions (sort ≈ 4× cheaper
+    # than a full-width scatter) and iterate on the small set with path
+    # compression (deep chains — periodic data — are rare but unbounded)
+    cq = jnp.sort(jnp.where(state >= 0, q, jnp.int32(0x7FFFFFFF)))[:A]
+    cq = jnp.clip(cq, 0, O - 1)
 
     def tail_cond(carry):
         state, active = carry
@@ -250,15 +262,6 @@ def resolve_global(
         state = state.at[cq].set(newv)
         return state, newv >= 0
 
-    def compact_path(state):
-        state, _ = jax.lax.while_loop(
-            tail_cond, tail_body, (state, state[cq] >= 0))
-        return state
-
-    def full_path(state):
-        # unresolved tail didn't fit the compact buffer: plain doubling
-        return jax.lax.while_loop(
-            lambda s: jnp.any(s >= 0), full_round, state)
-
-    state = jax.lax.cond(n_unres <= A, compact_path, full_path, state)
+    state, _ = jax.lax.while_loop(
+        tail_cond, tail_body, (state, state[cq] >= 0))
     return (state & 0xFF).astype(jnp.uint8), err
