@@ -43,7 +43,7 @@ _FIXED_LITLEN_LENGTHS = C.fixed_litlen_code_lengths()
 _FIXED_DIST_LENGTHS = C.fixed_dist_code_lengths()
 
 # Batched path sizing: decode lanes per dispatch.
-_LANES = 1024
+_LANES = 8192
 _SCAN_CHUNK_TOKENS = 65536
 
 
@@ -339,8 +339,10 @@ def plan_groups(data: bytes, index: StreamIndex) -> list[_GroupPlan]:
         p.T = T
         p.d_base = int(lane_out[g0])
         p.d_total = int(lane_out[g1 - 1] + lane_outlen[g1 - 1]) - p.d_base
-        # full-size groups always resolve at O=2^23 → one compiled program
-        p.O = (1 << 23) if len(groups) > 1 else _bucket(p.d_total, lo=4096)
+        # bucketed per-group output span: resolve passes cost ~7 ns/index,
+        # so padding to the worst case would double-to-quadruple real work;
+        # the handful of distinct (B,T,O) buckets each compile once
+        p.O = _bucket(p.d_total, lo=4096)
         out_base = np.zeros(Bp, np.int32)
         out_base[:B] = lane_out[g0:g1] - p.d_base
         p.out_base = jnp.asarray(out_base)
