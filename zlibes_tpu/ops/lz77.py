@@ -85,25 +85,26 @@ def find_matches(
 
     skey, spos = jax.lax.sort((key, pos), dimension=1, is_stable=True, num_keys=1)
 
-    # gather the S probe windows for every position, in sorted order
-    probes = []
-    for s in range(S):
-        idx = jnp.minimum(spos + 4 * s, N - 1)
-        probes.append(jnp.take_along_axis(w32, idx, axis=1))
+    # gather the S probe windows for every position, in sorted order,
+    # stacked on a leading axis (vectorized over S — keeps the compiled
+    # program O(1) in S instead of O(S) unrolled copies)
+    sidx = jnp.minimum(spos[None, :, :] + 4 * jnp.arange(S, dtype=jnp.int32)[:, None, None],
+                       N - 1)
+    probes = jnp.take_along_axis(jnp.broadcast_to(w32, (S, B, N)), sidx, axis=2)
 
     limit = jnp.minimum(n_valid[:, None] - spos, C.MAX_MATCH)
 
-    # candidate loop as fori_loop (compile-time stays O(S), not O(S*J));
+    # candidate loop as fori_loop (compile-time stays O(1), not O(J));
     # pad once, slide with dynamic slices
     spos_p = jnp.pad(spos, ((0, 0), (J, 0)))
     skey_p = jnp.pad(skey, ((0, 0), (J, 0)), constant_values=-1)
-    probes_p = [jnp.pad(p, ((0, 0), (J, 0))) for p in probes]
+    probes_p = jnp.pad(probes, ((0, 0), (0, 0), (J, 0)))
 
     def cand_body(jj, best):
         best_ml, best_dist = best
 
         def sl(a):
-            return jax.lax.dynamic_slice_in_dim(a, J - jj, N, axis=1)
+            return jax.lax.dynamic_slice_in_dim(a, J - jj, N, axis=a.ndim - 1)
 
         cpos = sl(spos_p)
         ckey = sl(skey_p)
@@ -112,12 +113,13 @@ def find_matches(
         if reset:
             assert reset & (reset - 1) == 0, "reset must be a power of two"
             ok = ok & ((cpos // reset) == (spos // reset))
-        ml = jnp.zeros((B, N), jnp.int32)
-        done = jnp.zeros((B, N), jnp.bool_)
-        for s in range(S):
-            t = _trailing_eq_bytes(probes[s] ^ sl(probes_p[s]))
-            ml = ml + jnp.where(done, 0, t)
-            done = done | (t < 4)
+        # per-probe trailing-equal bytes (S, B, N); a probe word counts
+        # only while every earlier word matched fully (cumulative AND)
+        t = _trailing_eq_bytes(probes ^ sl(probes_p))
+        alive = jnp.cumprod(
+            jnp.concatenate([jnp.ones((1, B, N), jnp.int32), (t[:-1] == 4).astype(jnp.int32)]),
+            axis=0)
+        ml = jnp.sum(t * alive, axis=0)
         ml = jnp.minimum(ml, limit)
         ml = jnp.where(ok & (ml >= C.MIN_MATCH), ml, 0)
         better = ml > best_ml
