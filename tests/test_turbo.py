@@ -1,0 +1,104 @@
+"""Turbo profile: shared-table encode + Pallas lock-step inflate kernels.
+
+Oracle strategy per SURVEY.md §4: CPython zlib must accept every stream we
+emit; our turbo inflate must reproduce the input bit-exactly.  Kernels run
+in Pallas interpret mode on the CPU test mesh.
+"""
+import zlib
+
+import numpy as np
+import pytest
+
+from zlibes_tpu.codec import deflate_pipeline as dp
+from zlibes_tpu.codec import inflate_pipeline as ip
+from zlibes_tpu.codec.turbo import inflate_raw_turbo
+from zlibes_tpu.config import CodecConfig
+from zlibes_tpu.spec.errors import CorruptError
+
+CFG = CodecConfig.turbo(candidates=4, probe_words=4)
+BS = 16384  # small blocks keep CPU compiles fast
+
+
+def _mixed_data(n=40000, seed=0):
+    rng = np.random.default_rng(seed)
+    text = (b"the quick brown fox jumps over the lazy dog. " * 200)
+    rnd = rng.integers(0, 256, n // 4, dtype=np.uint8).tobytes()
+    rle = b"A" * 1200 + b"ab" * 700 + bytes(range(256)) * 4
+    out = (text + rnd + rle) * 3
+    return out[:n]
+
+
+@pytest.fixture(scope="module")
+def turbo_stream():
+    data = _mixed_data()
+    comp, index = dp.deflate(data, with_index=True, config=CFG, block_size=BS)
+    return data, comp, index
+
+
+def test_turbo_stream_is_conformant(turbo_stream):
+    data, comp, index = turbo_stream
+    assert zlib.decompress(comp) == data
+    assert index.turbo
+    assert np.array_equal(index.anchor_out,
+                          np.arange(index.anchor_bit.size) * 1024)
+
+
+def test_turbo_inflate_roundtrip(turbo_stream):
+    data, comp, index = turbo_stream
+    out = inflate_raw_turbo(comp, index)
+    assert out.tobytes() == data
+
+
+def test_turbo_via_public_inflate(turbo_stream):
+    data, comp, index = turbo_stream
+    from zlibes_tpu.codec.inflate_pipeline import inflate
+
+    assert inflate(comp, index=index) == data
+
+
+def test_turbo_rle_and_long_matches():
+    data = b"x" * 5000 + b"yz" * 3000 + b"x" * 300
+    comp, index = dp.deflate(data, with_index=True, config=CFG, block_size=BS)
+    assert zlib.decompress(comp) == data
+    out = inflate_raw_turbo(comp, index)
+    assert out.tobytes() == data
+
+
+def test_turbo_incompressible():
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, 12000, dtype=np.uint8).tobytes()
+    comp, index = dp.deflate(data, with_index=True, config=CFG, block_size=BS)
+    assert zlib.decompress(comp) == data
+    out = inflate_raw_turbo(comp, index)
+    assert out.tobytes() == data
+
+
+def test_turbo_corruption_detected(turbo_stream):
+    """Every payload corruption must surface as a typed error through the
+    public inflate: structural damage raises CorruptError in the kernel
+    checks; value-only damage (e.g. a flipped literal whose code length is
+    unchanged) is caught by the Adler-32 verify."""
+    from zlibes_tpu.codec.inflate_pipeline import inflate
+    from zlibes_tpu.spec.errors import ChecksumError
+
+    data, comp, index = turbo_stream
+    rng = np.random.default_rng(3)
+    hits = 0
+    for _ in range(6):
+        bad = bytearray(comp)
+        pos = int(rng.integers(16, len(bad) - 8))
+        bad[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = inflate(bytes(bad), index=index)
+            assert out == data  # flip landed in a skipped header bit-gap
+        except (CorruptError, ChecksumError):
+            hits += 1
+    assert hits >= 4  # most flips must be detected
+
+
+def test_turbo_rejects_non_turbo_index():
+    data = _mixed_data(20000)
+    comp, index = dp.deflate(data, with_index=True, block_size=BS)
+    assert not index.turbo
+    with pytest.raises(CorruptError):
+        inflate_raw_turbo(comp, index)

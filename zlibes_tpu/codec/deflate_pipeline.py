@@ -177,6 +177,167 @@ class _BlockPlan:
                  "d_code", "d_len", "eob_code", "eob_len", "bfinal")
 
 
+def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
+                   stats: CodecStats):
+    """Shared-table encode (the turbo profile, and the de-Pythoned entropy
+    stage in general): ONE stream-wide length-limited table pair replaces
+    the per-block host package-merge loop.
+
+    Phase 1 runs match-find/select/histogram per dispatch on device and
+    accumulates global symbol frequencies; the host then builds a single
+    (litlen, dist) code pair (capped at cfg.max_code_bits) and one block
+    header; phase 2 packs every block's payload with the shared codes.
+    Every block header is identical except BFINAL — canonical zlib decodes
+    the stream like any other dynamic-Huffman member.
+    """
+    n = arr.size
+    nblocks = -(-n // N)
+    SEG_SIZE = cfg.seg_size
+    nseg = N // SEG_SIZE
+    Bp = cfg.blocks_per_dispatch
+    keep_tokens = nblocks <= 256  # else recompute in phase 2 (memory cap)
+
+    def run_dispatch(d0: int, d1: int):
+        B = d1 - d0
+        blk_bytes = np.zeros((Bp, N + 8), dtype=np.uint8)
+        n_valid = np.zeros(Bp, dtype=np.int32)
+        for i, bi in enumerate(range(d0, d1)):
+            chunk = arr[bi * N : (bi + 1) * N]
+            blk_bytes[i, : chunk.size] = chunk
+            n_valid[i] = chunk.size
+        dev_bytes = jnp.asarray(blk_bytes)
+        dev_nv = jnp.asarray(n_valid)
+        with stats.timer("match"), trace("zlibes.match"):
+            matches = find_matches(dev_bytes, dev_nv, N=N,
+                                   S=cfg.probe_words, J=cfg.candidates,
+                                   reset=cfg.chunk_reset)
+        with stats.timer("select"), trace("zlibes.select"):
+            tv, td, cnt = select_tokens(dev_bytes, matches, dev_nv, N=N,
+                                        SEG_SIZE=SEG_SIZE, lazy=cfg.lazy)
+        return tv, td, cnt, n_valid
+
+    # --- phase 1: global histograms
+    ll_total = np.zeros(C.NUM_LITLEN_SYMBOLS, np.int64)
+    d_total = np.zeros(C.NUM_DIST_SYMBOLS, np.int64)
+    kept = {}
+    spans = [(d0, min(nblocks, d0 + Bp)) for d0 in range(0, nblocks, Bp)]
+    for d0, d1 in spans:
+        tv, td, cnt, n_valid = run_dispatch(d0, d1)
+        with stats.timer("symbols"), trace("zlibes.symbols"):
+            lsym, dsym, valid, ll_freq, d_freq = token_symbols(
+                tv, td, cnt, nseg=nseg)
+        ll_total += np.asarray(ll_freq).astype(np.int64).sum(axis=0)
+        d_total += np.asarray(d_freq).astype(np.int64).sum(axis=0)
+        if keep_tokens:
+            kept[d0] = (tv, td, cnt, n_valid, lsym, dsym, valid)
+        stats.dispatches += 1
+
+    # --- host: one shared table pair (header-sized work, done once)
+    with stats.timer("entropy"):
+        ll_total[C.END_OF_BLOCK] += nblocks
+        ll_len = package_merge_np(ll_total, cfg.max_code_bits)
+        d_len = package_merge_np(d_total, cfg.max_code_bits)
+        if d_len.max(initial=0) == 0:
+            d_len[0] = 1
+        hdr0, hb0 = _dynamic_header(ll_len, d_len, 0)
+        hdr1, hb1 = _dynamic_header(ll_len, d_len, 1)
+        ll_code, d_code = _encode_tables(ll_len, d_len)
+        eob_code = int(ll_code[C.END_OF_BLOCK])
+        eob_len = int(ll_len[C.END_OF_BLOCK])
+    ll_code_b = jnp.asarray(np.broadcast_to(ll_code, (Bp, ll_code.size)))
+    ll_len_b = jnp.asarray(np.broadcast_to(ll_len, (Bp, ll_len.size)))
+    d_code_b = jnp.asarray(np.broadcast_to(d_code, (Bp, d_code.size)))
+    d_len_b = jnp.asarray(np.broadcast_to(d_len, (Bp, d_len.size)))
+    enabled = jnp.ones(Bp, bool)
+
+    # --- phase 2: pack + splice
+    out_parts: list[bytes] = []
+    blocks: list[BlockInfo] = []
+    anchor_bit: list[int] = []
+    anchor_out: list[int] = []
+    anchor_block: list[int] = []
+    stream_bit = 0
+    W = (15 * N + 4096) // 32
+    for d0, d1 in spans:
+        B = d1 - d0
+        if keep_tokens:
+            tv, td, cnt, n_valid, lsym, dsym, valid = kept.pop(d0)
+        else:
+            tv, td, cnt, n_valid = run_dispatch(d0, d1)
+            lsym, dsym, valid, _lf, _df = token_symbols(tv, td, cnt, nseg=nseg)
+        hdr_bits_arr = np.full(Bp, hb0, np.int32)
+        if d1 == nblocks:
+            hdr_bits_arr[B - 1] = hb1
+        with stats.timer("pack"), trace("zlibes.pack"):
+            words, payload_end, lane_bit0 = pack_payload(
+                tv, td, lsym, dsym, valid,
+                ll_code_b, ll_len_b, d_code_b, d_len_b,
+                jnp.asarray(hdr_bits_arr), enabled, nseg=nseg, W=W,
+            )
+        payload_end_np = np.asarray(payload_end)
+        lane_bit0_np = np.asarray(lane_bit0)
+        used_words = np.zeros(B, np.int64)
+        for i in range(B):
+            used_words[i] = (int(payload_end_np[i]) + eob_len + 31) // 32 + 1
+        flat_idx = np.concatenate(
+            [np.arange(used_words[i], dtype=np.int64) + i * W for i in range(B)])
+        dense = np.asarray(gather_compressed(
+            words.reshape(-1), jnp.asarray(flat_idx.astype(np.int32))))
+        offs = np.concatenate([[0], np.cumsum(used_words)]).astype(np.int64)
+
+        for i in range(B):
+            bi = d0 + i
+            bfinal = 1 if bi == nblocks - 1 else 0
+            nb = int(n_valid[i])
+            out_start = bi * N
+            hdr = hdr1 if bfinal else hdr0
+            hdr_bits = hb1 if bfinal else hb0
+            w0, w1 = int(offs[i]), int(offs[i + 1])
+            buf = dense[w0:w1].view(np.uint8).copy()
+            end_bits = int(payload_end_np[i])
+            hb = np.frombuffer(hdr, dtype=np.uint8)
+            buf[: hb.size] |= hb
+            _or_bits(buf, end_bits, eob_code, eob_len)
+            end_bits += eob_len
+            start_bit = stream_bit
+            blocks.append(BlockInfo(
+                C.BTYPE_DYNAMIC, bool(bfinal), start_bit,
+                start_bit + hdr_bits, start_bit + end_bits, out_start, nb))
+            for s in range(-(-nb // SEG_SIZE)):
+                anchor_bit.append(start_bit + int(lane_bit0_np[i * nseg + s]))
+                anchor_out.append(out_start + s * SEG_SIZE)
+                anchor_block.append(len(blocks) - 1)
+            if bfinal:
+                nbytes = (end_bits + 7) // 8
+                out_parts.append(buf[:nbytes].tobytes())
+                stream_bit += nbytes * 8
+            else:
+                sync_start = end_bits
+                nbytes = (end_bits + 3 + 7) // 8
+                part = buf[:nbytes].tobytes() + b"\x00\x00\xff\xff"
+                out_parts.append(part)
+                blocks.append(BlockInfo(
+                    C.BTYPE_STORED, False, start_bit + sync_start,
+                    start_bit + nbytes * 8,
+                    stream_bit + len(part) * 8, out_start + nb, 0))
+                stream_bit += len(part) * 8
+
+    body = b"".join(out_parts)
+    stats.bytes_out += len(body)
+    stats.blocks += len(blocks)
+    is_turbo = (cfg.max_code_bits <= 9 and cfg.chunk_reset == 4096
+                and cfg.seg_size == 1024)
+    index = StreamIndex(
+        blocks,
+        np.asarray(anchor_bit, np.int64),
+        np.asarray(anchor_out, np.int64),
+        np.asarray(anchor_block, np.int32),
+        chunk_reset=cfg.chunk_reset,
+        turbo=is_turbo,
+    )
+    return body, index
+
+
 def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN,
                     config: CodecConfig | None = None,
                     stats: CodecStats | None = None):
@@ -203,6 +364,9 @@ def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN,
 
     if cfg.force_stored:
         return _stored_stream(arr, stats)
+
+    if cfg.shared_tables:
+        return _deflate_turbo(arr, N, cfg, stats)
 
     out_parts: list[bytes] = []
     blocks: list[BlockInfo] = []

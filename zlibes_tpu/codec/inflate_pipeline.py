@@ -514,7 +514,12 @@ def inflate(data: bytes, verify_checksum: bool = True, index=None,
         if dictionary is not None:
             raise HeaderError("indexed decode with dictionaries not supported"
                               " yet; omit index=")
-        out = inflate_raw_indexed(data, index)
+        if getattr(index, "turbo", False):
+            from .turbo import inflate_raw_turbo
+
+            out = inflate_raw_turbo(data, index)
+        else:
+            out = inflate_raw_indexed(data, index)
         end_bit = index.blocks[-1].end_bit
     else:
         out, _blocks, end_bit = inflate_raw_scan(data, byte_offset=offset,

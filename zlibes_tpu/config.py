@@ -25,17 +25,41 @@ class CodecConfig:
     lazy: bool = True          # one-step lazy matching
     blocks_per_dispatch: int = 16
     force_stored: bool = False  # level 0: raw stored blocks, no coding
-    chunk_reset: int = 0  # >0 (power of two ≤ seg_size): LZ window resets
-    # every chunk_reset output bytes, making every chunk independently
-    # resolvable — unlocks the Pallas lock-step inflate path at a small
-    # ratio cost (the "turbo" profile); 0 keeps the full 32 KiB window
+    chunk_reset: int = 0  # >0 (power of two, multiple of seg_size): LZ
+    # window resets every chunk_reset output bytes, making every chunk
+    # independently resolvable — the fuel for the Pallas lock-step inflate
+    # kernels; 0 keeps the full 32 KiB window
+    shared_tables: bool = False  # one stream-wide Huffman table pair
+    # (identical header in every block): lets the decode kernel hold ONE
+    # table in VMEM for all lanes, and the sharded encoder skip per-block
+    # host table builds.  Small ratio cost vs per-block tables.
+    max_code_bits: int = 15  # length-limit for litlen/dist codes; the
+    # turbo profile caps at 9 so the decode kernel's primary lookup is a
+    # single 512-entry table (no secondary resolution step)
 
     def __post_init__(self):
         if self.chunk_reset:
             if self.chunk_reset & (self.chunk_reset - 1):
                 raise ValueError("chunk_reset must be a power of two")
-            if self.seg_size != self.chunk_reset:
+            if self.seg_size > self.chunk_reset:
                 object.__setattr__(self, "seg_size", self.chunk_reset)
+            if self.chunk_reset % self.seg_size:
+                raise ValueError("chunk_reset must be a multiple of seg_size")
+        if not 7 <= self.max_code_bits <= 15:
+            raise ValueError("max_code_bits must be in 7..15")
+
+    @staticmethod
+    def turbo(candidates: int = 16, probe_words: int = 16,
+              lazy: bool = True) -> "CodecConfig":
+        """The TPU-native fast profile: streams remain 100% zlib-conformant
+        (any inflate decodes them) but carry the structure the Pallas
+        lock-step inflate kernel needs — window reset every 4 KiB, decode
+        anchors every 1 KiB, one shared stream-wide table pair with code
+        lengths capped at 9 bits."""
+        return CodecConfig(
+            seg_size=1024, chunk_reset=4096, shared_tables=True,
+            max_code_bits=9, candidates=candidates,
+            probe_words=probe_words, lazy=lazy)
 
     @staticmethod
     def from_level(level: int) -> "CodecConfig":

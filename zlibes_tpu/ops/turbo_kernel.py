@@ -1,0 +1,381 @@
+"""Pallas lock-step inflate kernels for turbo-profile streams.
+
+This is the TPU replacement for the reference's bit-serial symbol loop
+(/root/reference/src/inflate.ts:237-291) and byte-at-a-time LZ back-copy
+(/root/reference/src/inflate.ts:287-290).  It decodes streams produced by
+``CodecConfig.turbo()`` — 100% zlib-conformant members whose structure is
+chosen for lock-step vector decode:
+
+  * one shared (litlen, dist) table pair for the whole stream, code
+    lengths capped at 9 bits → the primary decode table is 512 entries,
+    looked up in one MXU one-hot matmul per symbol for ALL lanes at once;
+  * decode anchors every 1 KiB of output → thousands of independent
+    1 KiB sub-chunk lanes decode in lock step (one symbol per lane per
+    loop iteration; the loop is latency-bound at ~0.5 µs/iter regardless
+    of lane count, so throughput scales with lanes);
+  * LZ window reset every 4 KiB of output → back-references never leave a
+    4 KiB chunk, so resolution is chunk-row-local: the resolve kernel
+    walks each chunk in 128-byte tiles, serving sources in already-written
+    tiles from VMEM with banked per-vreg gathers and in-tile overlaps with
+    log2(128) pointer-doubling rounds.
+
+Hardware cost model (measured, tools/probe_pallas*.py on TPU v5e):
+dependent Pallas loop iterations cost ~0.3-0.5 µs regardless of vector
+width; tpu.dynamic_gather supports shape-matched 2D take_along_axis along
+the minor axis; XLA-level scalar gathers cost ~7 ns/element (the round-1
+bottleneck this file replaces).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..spec import constants as C
+from ..spec.errors import CorruptError
+from . import huffman
+
+# table width: turbo streams cap code lengths at 9 bits
+M_BITS = 9
+TABLE = 1 << M_BITS
+# decode lanes per kernel invocation (compile-size/VMEM sweet spot)
+LANE_BLOCK = 1024
+# stream words per decode lane: worst case is ceil(1024/3) 33-bit match
+# tokens = 11264 bits = 352 words, plus ≤31 bits word alignment + 64-bit
+# window slack
+STREAM_WORDS = 384
+# max tokens per 1 KiB sub-chunk lane (+EOB slack)
+MAX_TOKENS = 1040
+# token-array banks in the resolve kernel (multiple of 128 ≥ MAX_TOKENS)
+TOKENS_PAD = 1152
+# chunk rows per resolve kernel invocation
+CHUNK_BLOCK = 128
+
+# token packing: val (literal byte / match length) | dist<<9 | is_match<<21
+TOK_VAL_MASK = 0x1FF
+TOK_DIST_SHIFT = 9
+TOK_DIST_MASK = 0xFFF
+TOK_MATCH_BIT = 1 << 21
+
+_KIND_LIT, _KIND_EOB, _KIND_LEN, _KIND_INVALID = 0, 1, 2, 3
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# table construction (host, header-sized work)
+
+def turbo_decode_tables(ll_len: np.ndarray, d_len: np.ndarray):
+    """Flat LSB-first decode tables as MXU one-hot payload matrices.
+
+    Returns (lt (512, 8) f32, dt (512, 8) f32).
+      lt columns: 0 codelen (0 = invalid), 1 kind, 2 base value, 3 extra#
+      dt columns: 0 codelen (0 = invalid), 1 extra#, 2 base distance
+    All payload values are < 2^24 so f32 holds them exactly.
+    """
+    ll_len = np.asarray(ll_len, np.int64)
+    d_len = np.asarray(d_len, np.int64)
+    if int(ll_len.max(initial=0)) > M_BITS or int(d_len.max(initial=0)) > M_BITS:
+        raise CorruptError("turbo stream requires code lengths <= 9 bits")
+
+    def flat(lengths, cols_fn, ncols):
+        codes = huffman.canonical_codes_batch(lengths[None, :])[0]
+        tab = np.zeros((TABLE, 8), np.float32)
+        for sym in range(lengths.size):
+            l = int(lengths[sym])
+            if l == 0:
+                continue
+            base = int(huffman._REV16[int(codes[sym])] >> (16 - l))
+            row = cols_fn(sym, l)
+            for idx in range(base, TABLE, 1 << l):
+                tab[idx, :ncols] = row
+        return tab
+
+    def ll_cols(sym, l):
+        if sym < 256:
+            return (l, _KIND_LIT, sym, 0)
+        if sym == C.END_OF_BLOCK:
+            return (l, _KIND_EOB, 0, 0)
+        if sym < 286:
+            i = sym - 257
+            return (l, _KIND_LEN, int(C.LENGTH_BASE[i]),
+                    int(C.LENGTH_EXTRA_BITS[i]))
+        return (l, _KIND_INVALID, 0, 0)
+
+    def d_cols(sym, l):
+        if sym < 30:
+            return (l, int(C.DIST_EXTRA_BITS[sym]), int(C.DIST_BASE[sym]), 0)
+        return (0, 0, 0, 0)  # reserved distance symbols: invalid
+
+    lt = flat(ll_len, ll_cols, 4)
+    dt = flat(d_len, d_cols, 4)
+    return lt, dt
+
+
+# ---------------------------------------------------------------------------
+# stage 1: per-lane stream extraction (pure XLA, dense dynamic slices)
+
+@partial(jax.jit, static_argnames=("SW",))
+def extract_lanes(words: jax.Array, starts_w: jax.Array, SW: int = STREAM_WORDS):
+    """Slice each lane's stream row out of the global word array.
+
+    words: (Nw,) int32 little-endian u32 words of the compressed stream
+    starts_w: (L,) int32 per-lane first word index
+    Returns (L, SW) int32 rows.  Measured ~34 GB/s on v5e (probe 4).
+    """
+    def one(s):
+        return jax.lax.dynamic_slice(words, (s,), (SW,))
+    return jax.vmap(one)(starts_w)
+
+
+# ---------------------------------------------------------------------------
+# stage 2: lock-step token decode
+
+def _shl32m(x, s):
+    """x << (32 - s) for s in [0, 32), well-defined at s == 0 (yields 0)."""
+    return (x << (jnp.uint32(31) - s)) << 1
+
+
+def _decode_kernel(lt_ref, dt_ref, words_ref, bit0_ref, endb_ref,
+                   tok_ref, meta_ref, *, T: int):
+    L = words_ref.shape[0]
+    SW = words_ref.shape[1]
+    rows = words_ref[:]
+    # rows1[:, p] == rows[:, p+1]; rows2[:, p] == rows[:, p+2]
+    rows1 = pltpu_roll(rows, SW - 1)
+    rows2 = pltpu_roll(rows, SW - 2)
+    lt = lt_ref[:]
+    dt = dt_ref[:]
+    iota_sw = jax.lax.broadcasted_iota(jnp.int32, (L, SW), 1)
+    iota_tb = jax.lax.broadcasted_iota(jnp.int32, (L, TABLE), 1)
+    bit0 = bit0_ref[:]
+    endb = endb_ref[:]
+
+    def cond(state):
+        t, _bp, active, _err, _cnt = state
+        return (t < T) & jnp.any(active)
+
+    def body(state):
+        t, bitpos, active, err, count = state
+        # --- stateless 64-bit window at bitpos (3 words via one one-hot)
+        p = bitpos >> 5
+        oh = iota_sw == p
+        w0 = jnp.sum(jnp.where(oh, rows, 0), axis=1, keepdims=True)
+        w1 = jnp.sum(jnp.where(oh, rows1, 0), axis=1, keepdims=True)
+        w2 = jnp.sum(jnp.where(oh, rows2, 0), axis=1, keepdims=True)
+        w0u, w1u, w2u = (w0.astype(jnp.uint32), w1.astype(jnp.uint32),
+                         w2.astype(jnp.uint32))
+        s = (bitpos & 31).astype(jnp.uint32)
+        lo = (w0u >> s) | _shl32m(w1u, s)
+        hi = (w1u >> s) | _shl32m(w2u, s)
+        # --- litlen symbol: one MXU one-hot lookup
+        idx = (lo & (TABLE - 1)).astype(jnp.int32)
+        ohe = (iota_tb == idx).astype(jnp.float32)
+        e = jnp.dot(ohe, lt, preferred_element_type=jnp.float32)
+        ln = e[:, 0:1].astype(jnp.int32)
+        kind = e[:, 1:2].astype(jnp.int32)
+        base = e[:, 2:3].astype(jnp.int32)
+        eb = e[:, 3:4].astype(jnp.int32)
+        lnu = ln.astype(jnp.uint32)
+        extra = ((lo >> lnu) & ((jnp.uint32(1) << eb.astype(jnp.uint32)) - 1)
+                 ).astype(jnp.int32)
+        val = base + jnp.where(kind == _KIND_LEN, extra, 0)
+        val = jnp.where(kind == _KIND_LIT, base, val)
+        k1 = (ln + eb).astype(jnp.uint32)
+        # --- distance symbol (masked out for literals/EOB)
+        lo2 = (lo >> k1) | _shl32m(hi, k1)
+        didx = (lo2 & (TABLE - 1)).astype(jnp.int32)
+        ohd = (iota_tb == didx).astype(jnp.float32)
+        de = jnp.dot(ohd, dt, preferred_element_type=jnp.float32)
+        dln = de[:, 0:1].astype(jnp.int32)
+        deb = de[:, 1:2].astype(jnp.int32)
+        dbase = de[:, 2:3].astype(jnp.int32)
+        dex = ((lo2 >> dln.astype(jnp.uint32))
+               & ((jnp.uint32(1) << deb.astype(jnp.uint32)) - 1)
+               ).astype(jnp.int32)
+        dist = dbase + dex
+        is_len = kind == _KIND_LEN
+        is_eob = kind == _KIND_EOB
+        k = (ln + eb) + jnp.where(is_len, dln + deb, 0)
+        newpos = bitpos + k
+        bad = ((ln == 0) | (kind == _KIND_INVALID)
+               | (is_len & ((dln == 0) | (dist > TOK_DIST_MASK)))
+               | (newpos > endb))
+        emit = active & ~bad & ~is_eob
+        tok = jnp.where(
+            is_len, val | (dist << TOK_DIST_SHIFT) | TOK_MATCH_BIT, val)
+        tok = jnp.where(emit, tok, 0)
+        tok_ref[pl.ds(t, 1), :] = tok.reshape(1, L)
+        count = count + emit.astype(jnp.int32)
+        err = err | (active & bad)
+        bitpos = jnp.where(active & ~bad, newpos, bitpos)
+        active = active & ~bad & ~is_eob & (newpos < endb)
+        return (t + 1, bitpos, active, err, count)
+
+    active0 = bit0 < endb
+    state = (jnp.int32(0), bit0, active0,
+             jnp.zeros((L, 1), jnp.bool_), jnp.zeros((L, 1), jnp.int32))
+    t, bitpos, active, err, count = jax.lax.while_loop(cond, body, state)
+    meta_ref[0:1, :] = count.reshape(1, L)
+    meta_ref[1:2, :] = bitpos.reshape(1, L)
+    meta_ref[2:3, :] = err.astype(jnp.int32).reshape(1, L)
+    meta_ref[3:4, :] = active.astype(jnp.int32).reshape(1, L)
+
+
+def pltpu_roll(x, shift):
+    """Static circular shift along the minor axis (interpret-safe)."""
+    if _interpret():
+        return jnp.roll(x, shift, axis=1)
+    return pltpu.roll(x, shift, 1)
+
+
+@partial(jax.jit, static_argnames=("T", "LB"))
+def decode_turbo(lane_words: jax.Array,  # (L, SW) int32
+                 bit0: jax.Array,        # (L, 1) int32 in-row bit offsets
+                 endb: jax.Array,        # (L, 1) int32 in-row end bits
+                 lt: jax.Array,          # (512, 8) f32
+                 dt: jax.Array,          # (512, 8) f32
+                 T: int = MAX_TOKENS,
+                 LB: int = LANE_BLOCK):
+    """Lock-step decode of L sub-chunk lanes; one symbol/lane/iteration.
+
+    Returns (tokens (T, L) int32 packed, meta (8, L) int32):
+    meta rows: 0 token count, 1 end bit position, 2 error flag,
+    3 still-active-after-T flag (also an error).
+    """
+    L, SW = lane_words.shape
+    assert L % LB == 0
+    grid = (L // LB,)
+    return pl.pallas_call(
+        partial(_decode_kernel, T=T),
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((T, L), jnp.int32),
+                   jax.ShapeDtypeStruct((8, L), jnp.int32)),
+        in_specs=[
+            pl.BlockSpec((TABLE, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TABLE, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LB, SW), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((T, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
+    )(lt, dt, lane_words, bit0, endb)
+
+
+# ---------------------------------------------------------------------------
+# stage 3: tile-sequential LZ resolve over 4 KiB chunk rows
+
+def _pgather(tab, idx, nbanks):
+    """Per-row gather from (R, nbanks*128) via shape-matched vreg gathers."""
+    lob = idx & 127
+    hib = idx >> 7
+    out = jnp.zeros_like(idx)
+    for b in range(nbanks):
+        g = jnp.take_along_axis(tab[:, b * 128 : (b + 1) * 128], lob, axis=1)
+        out = jnp.where(hib == b, g, out)
+    return out
+
+
+def _resolve_kernel(toks_ref, starts_ref, out_ref, scratch_ref):
+    CB = out_ref.shape[0]
+    iota128 = jax.lax.broadcasted_iota(jnp.int32, (CB, 128), 1)
+    nb_tok = TOKENS_PAD // 128
+
+    for m in range(4):  # sub-lane within the chunk (1 KiB spans)
+        toks_m = toks_ref[m]      # (CB, TOKENS_PAD)
+        starts_m = starts_ref[m]
+        ktok = jnp.zeros((CB, 128), jnp.int32)  # broadcast cursor
+        for j in range(8):  # 128-byte tile within the 1 KiB span
+            t = m * 8 + j
+            qbase = t * 128
+            q_local = j * 128 + iota128          # within the 1 KiB span
+            idxw = jnp.minimum(ktok + iota128, TOKENS_PAD - 1)
+            toks_f = _pgather(toks_m, idxw, nb_tok)
+            starts_f = _pgather(starts_m, idxw, nb_tok)
+            # covering token per byte: bisection over the sorted window
+            lo = jnp.zeros((CB, 128), jnp.int32)
+            step = 64
+            while step:
+                mid = lo + step
+                sv = jnp.take_along_axis(starts_f, mid, axis=1)
+                lo = jnp.where(sv <= q_local, mid, lo)
+                step //= 2
+            tid = lo
+            tok_b = jnp.take_along_axis(toks_f, tid, axis=1)
+            st_b = jnp.take_along_axis(starts_f, tid, axis=1)
+            val = tok_b & TOK_VAL_MASK
+            dist = (tok_b >> TOK_DIST_SHIFT) & TOK_DIST_MASK
+            ism = (tok_b & TOK_MATCH_BIT) != 0
+            q_chunk = qbase + iota128            # within the 4 KiB chunk
+            srcq = jnp.clip(q_chunk - dist, 0, 4095)
+            # phase A: sources in already-resolved tiles (final bytes)
+            vA = jnp.zeros((CB, 128), jnp.int32)
+            if t:
+                s_lo = srcq & 127
+                s_hi = srcq >> 7
+                for b in range(t):
+                    g = jnp.take_along_axis(
+                        scratch_ref[:, b * 128 : (b + 1) * 128], s_lo, axis=1)
+                    vA = jnp.where(s_hi == b, g, vA)
+            # phase B: in-tile overlaps via pointer doubling
+            FLAG = jnp.int32(1) << 30
+            from_res = srcq < qbase
+            state = jnp.where(
+                ism,
+                jnp.where(from_res, (vA & 255) | FLAG, q_chunk - dist - qbase),
+                (val & 255) | FLAG)
+            for _ in range(7):
+                ptr = state & 127
+                s2 = jnp.take_along_axis(state, ptr, axis=1)
+                state = jnp.where(state >= FLAG, state, s2)
+            vals = state & 255
+            scratch_ref[:, qbase : qbase + 128] = vals
+            out_ref[:, qbase : qbase + 128] = vals.astype(jnp.uint8)
+            # advance the token cursor to the next tile's covering token
+            tid_l = tid[:, 127:128]
+            end_l = st_b[:, 127:128] + jnp.where(
+                ism[:, 127:128], val[:, 127:128], 1)
+            done = (end_l <= (j * 128 + 128)).astype(jnp.int32)
+            ktok = ktok + tid_l + done
+
+
+@jax.jit
+def resolve_turbo(toks: jax.Array,    # (4, C, TOKENS_PAD) int32
+                  starts: jax.Array):  # (4, C, TOKENS_PAD) int32
+    """Expand per-sub-lane token streams into 4 KiB chunk rows.
+
+    starts are per-token output offsets within the owning 1 KiB sub-lane
+    span (0..1023); padded/invalid tokens must carry start 2048.
+    Returns (C, 4096) uint8.
+    """
+    _, Cp, TP = toks.shape
+    assert TP == TOKENS_PAD and Cp % CHUNK_BLOCK == 0
+    grid = (Cp // CHUNK_BLOCK,)
+    return pl.pallas_call(
+        _resolve_kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((Cp, 4096), jnp.uint8),
+        in_specs=[
+            pl.BlockSpec((4, CHUNK_BLOCK, TOKENS_PAD), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, CHUNK_BLOCK, TOKENS_PAD), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CHUNK_BLOCK, 4096), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((CHUNK_BLOCK, 4096), jnp.int32)],
+        interpret=_interpret(),
+    )(toks, starts)

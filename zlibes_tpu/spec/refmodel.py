@@ -333,6 +333,9 @@ class StreamIndex:
     chunk_reset: int = 0  # >0: no back-reference crosses a ``chunk_reset``-
     # byte output boundary (encoder window resets) — every anchor chunk is
     # independently resolvable, enabling the Pallas lock-step inflate path
+    turbo: bool = False  # stream carries the full turbo profile: shared
+    # stream-wide tables, code lengths ≤ 9 bits, anchors every 1 KiB,
+    # window reset every 4 KiB — decodable by the Pallas lock-step kernels
 
     @property
     def total_out(self) -> int:
@@ -351,7 +354,7 @@ class StreamIndex:
         ]
         return StreamIndex(blocks, self.anchor_bit + bits, self.anchor_out,
                            self.anchor_block, self.self_contained,
-                           self.chunk_reset)
+                           self.chunk_reset, self.turbo)
 
     def save(self, path) -> None:
         """Persist the sidecar index (reload with StreamIndex.load)."""
@@ -363,7 +366,8 @@ class StreamIndex:
         np.savez(path, blocks=blk, anchor_bit=self.anchor_bit,
                  anchor_out=self.anchor_out, anchor_block=self.anchor_block,
                  self_contained=np.array([self.self_contained]),
-                 chunk_reset=np.array([self.chunk_reset]))
+                 chunk_reset=np.array([self.chunk_reset]),
+                 turbo=np.array([self.turbo]))
 
     @staticmethod
     def load(path) -> "StreamIndex":
@@ -375,7 +379,8 @@ class StreamIndex:
         ]
         return StreamIndex(blocks, z["anchor_bit"], z["anchor_out"],
                            z["anchor_block"], bool(z["self_contained"][0]),
-                           int(z["chunk_reset"][0]) if "chunk_reset" in z else 0)
+                           int(z["chunk_reset"][0]) if "chunk_reset" in z else 0,
+                           bool(z["turbo"][0]) if "turbo" in z else False)
 
 
 def inflate_raw(data: bytes, byte_offset: int = 0,
