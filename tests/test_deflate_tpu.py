@@ -59,7 +59,8 @@ def test_deflate_index_feeds_indexed_inflate():
 
 
 def test_deflate_size_competitive():
-    """config[3]: ≤ reference encoder (greedy ≈193k on this corpus)."""
+    """config[3]: ≤ reference encoder output — 191,734 bytes on this
+    corpus, pinned via tools/reference_size.py (see BASELINE.md)."""
     out = dp.deflate(RAW)
     assert pyzlib.decompress(out) == RAW
-    assert len(out) <= 193000
+    assert len(out) <= 191734

@@ -75,9 +75,12 @@ def turbo_decode_tables(ll_len: np.ndarray, d_len: np.ndarray):
     """Flat LSB-first decode tables as MXU one-hot payload matrices.
 
     Returns (lt (512, 8) f32, dt (512, 8) f32).
-      lt columns: 0 codelen (0 = invalid), 1 kind, 2 base value, 3 extra#
-      dt columns: 0 codelen (0 = invalid), 1 extra#, 2 base distance
-    All payload values are < 2^24 so f32 holds them exactly.
+      lt columns: 0 codelen (0 = invalid), 1 kind, 2 base_lo, 3 extra#,
+                  4 base_hi
+      dt columns: 0 codelen (0 = invalid), 1 extra#, 2 base_lo, 3 base_hi
+    Base values are split into lo/hi bytes: the MXU one-hot matmul runs
+    through bf16, which is exact only for integers <= 255 — a fused f32
+    product would silently round e.g. distance base 265 to 264.
     """
     ll_len = np.asarray(ll_len, np.int64)
     d_len = np.asarray(d_len, np.int64)
@@ -99,21 +102,23 @@ def turbo_decode_tables(ll_len: np.ndarray, d_len: np.ndarray):
 
     def ll_cols(sym, l):
         if sym < 256:
-            return (l, _KIND_LIT, sym, 0)
+            return (l, _KIND_LIT, sym & 255, 0, sym >> 8)
         if sym == C.END_OF_BLOCK:
-            return (l, _KIND_EOB, 0, 0)
+            return (l, _KIND_EOB, 0, 0, 0)
         if sym < 286:
             i = sym - 257
-            return (l, _KIND_LEN, int(C.LENGTH_BASE[i]),
-                    int(C.LENGTH_EXTRA_BITS[i]))
-        return (l, _KIND_INVALID, 0, 0)
+            base = int(C.LENGTH_BASE[i])
+            return (l, _KIND_LEN, base & 255, int(C.LENGTH_EXTRA_BITS[i]),
+                    base >> 8)
+        return (l, _KIND_INVALID, 0, 0, 0)
 
     def d_cols(sym, l):
         if sym < 30:
-            return (l, int(C.DIST_EXTRA_BITS[sym]), int(C.DIST_BASE[sym]), 0)
+            base = int(C.DIST_BASE[sym])
+            return (l, int(C.DIST_EXTRA_BITS[sym]), base & 255, base >> 8)
         return (0, 0, 0, 0)  # reserved distance symbols: invalid
 
-    lt = flat(ll_len, ll_cols, 4)
+    lt = flat(ll_len, ll_cols, 5)
     dt = flat(d_len, d_cols, 4)
     return lt, dt
 
@@ -147,9 +152,8 @@ def _decode_kernel(lt_ref, dt_ref, words_ref, bit0_ref, endb_ref,
     L = words_ref.shape[0]
     SW = words_ref.shape[1]
     rows = words_ref[:]
-    # rows1[:, p] == rows[:, p+1]; rows2[:, p] == rows[:, p+2]
+    # rows1[:, p] == rows[:, p+1]
     rows1 = pltpu_roll(rows, SW - 1)
-    rows2 = pltpu_roll(rows, SW - 2)
     lt = lt_ref[:]
     dt = dt_ref[:]
     iota_sw = jax.lax.broadcasted_iota(jnp.int32, (L, SW), 1)
@@ -158,29 +162,31 @@ def _decode_kernel(lt_ref, dt_ref, words_ref, bit0_ref, endb_ref,
     endb = endb_ref[:]
 
     def cond(state):
-        t, _bp, active, _err, _cnt = state
-        return (t < T) & jnp.any(active)
+        t, _bp, active_i, _err, _cnt = state
+        return (t < T) & (jnp.max(active_i) > 0)
 
     def body(state):
-        t, bitpos, active, err, count = state
-        # --- stateless 64-bit window at bitpos (3 words via one one-hot)
+        t, bitpos, active_i, err_i, count = state
+        active = active_i > 0
+        err = err_i > 0
+        # --- stateless window at bitpos (2 words via one one-hot).  Only
+        # 33 window bits are ever consumed per iteration (litlen 9+5 +
+        # dist 9+10), and lo|hi carries 64-s >= 33 valid bits for any s.
         p = bitpos >> 5
         oh = iota_sw == p
         w0 = jnp.sum(jnp.where(oh, rows, 0), axis=1, keepdims=True)
         w1 = jnp.sum(jnp.where(oh, rows1, 0), axis=1, keepdims=True)
-        w2 = jnp.sum(jnp.where(oh, rows2, 0), axis=1, keepdims=True)
-        w0u, w1u, w2u = (w0.astype(jnp.uint32), w1.astype(jnp.uint32),
-                         w2.astype(jnp.uint32))
+        w0u, w1u = w0.astype(jnp.uint32), w1.astype(jnp.uint32)
         s = (bitpos & 31).astype(jnp.uint32)
         lo = (w0u >> s) | _shl32m(w1u, s)
-        hi = (w1u >> s) | _shl32m(w2u, s)
+        hi = w1u >> s
         # --- litlen symbol: one MXU one-hot lookup
         idx = (lo & (TABLE - 1)).astype(jnp.int32)
         ohe = (iota_tb == idx).astype(jnp.float32)
         e = jnp.dot(ohe, lt, preferred_element_type=jnp.float32)
         ln = e[:, 0:1].astype(jnp.int32)
         kind = e[:, 1:2].astype(jnp.int32)
-        base = e[:, 2:3].astype(jnp.int32)
+        base = e[:, 2:3].astype(jnp.int32) + (e[:, 4:5].astype(jnp.int32) << 8)
         eb = e[:, 3:4].astype(jnp.int32)
         lnu = ln.astype(jnp.uint32)
         extra = ((lo >> lnu) & ((jnp.uint32(1) << eb.astype(jnp.uint32)) - 1)
@@ -195,7 +201,8 @@ def _decode_kernel(lt_ref, dt_ref, words_ref, bit0_ref, endb_ref,
         de = jnp.dot(ohd, dt, preferred_element_type=jnp.float32)
         dln = de[:, 0:1].astype(jnp.int32)
         deb = de[:, 1:2].astype(jnp.int32)
-        dbase = de[:, 2:3].astype(jnp.int32)
+        dbase = (de[:, 2:3].astype(jnp.int32)
+                 + (de[:, 3:4].astype(jnp.int32) << 8))
         dex = ((lo2 >> dln.astype(jnp.uint32))
                & ((jnp.uint32(1) << deb.astype(jnp.uint32)) - 1)
                ).astype(jnp.int32)
@@ -216,16 +223,17 @@ def _decode_kernel(lt_ref, dt_ref, words_ref, bit0_ref, endb_ref,
         err = err | (active & bad)
         bitpos = jnp.where(active & ~bad, newpos, bitpos)
         active = active & ~bad & ~is_eob & (newpos < endb)
-        return (t + 1, bitpos, active, err, count)
+        return (t + 1, bitpos, active.astype(jnp.int32),
+                err.astype(jnp.int32), count)
 
-    active0 = bit0 < endb
+    active0 = (bit0 < endb).astype(jnp.int32)
     state = (jnp.int32(0), bit0, active0,
-             jnp.zeros((L, 1), jnp.bool_), jnp.zeros((L, 1), jnp.int32))
-    t, bitpos, active, err, count = jax.lax.while_loop(cond, body, state)
+             jnp.zeros((L, 1), jnp.int32), jnp.zeros((L, 1), jnp.int32))
+    t, bitpos, active_i, err_i, count = jax.lax.while_loop(cond, body, state)
     meta_ref[0:1, :] = count.reshape(1, L)
     meta_ref[1:2, :] = bitpos.reshape(1, L)
-    meta_ref[2:3, :] = err.astype(jnp.int32).reshape(1, L)
-    meta_ref[3:4, :] = active.astype(jnp.int32).reshape(1, L)
+    meta_ref[2:3, :] = err_i.reshape(1, L)
+    meta_ref[3:4, :] = active_i.reshape(1, L)
 
 
 def pltpu_roll(x, shift):
@@ -271,6 +279,8 @@ def decode_turbo(lane_words: jax.Array,  # (L, SW) int32
             pl.BlockSpec((T, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(lt, dt, lane_words, bit0, endb)
 
@@ -377,5 +387,7 @@ def resolve_turbo(toks: jax.Array,    # (4, C, TOKENS_PAD) int32
         out_specs=pl.BlockSpec((CHUNK_BLOCK, 4096), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((CHUNK_BLOCK, 4096), jnp.int32)],
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(toks, starts)
