@@ -40,7 +40,7 @@ def test_turbo_stream_is_conformant(turbo_stream):
     assert zlib.decompress(comp) == data
     assert index.turbo
     assert np.array_equal(index.anchor_out,
-                          np.arange(index.anchor_bit.size) * 1024)
+                          np.arange(index.anchor_bit.size) * 512)
 
 
 def test_turbo_inflate_roundtrip(turbo_stream):

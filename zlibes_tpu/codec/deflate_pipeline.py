@@ -213,16 +213,19 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
                                    reset=cfg.chunk_reset)
         with stats.timer("select"), trace("zlibes.select"):
             tv, td, cnt = select_tokens(dev_bytes, matches, dev_nv, N=N,
-                                        SEG_SIZE=SEG_SIZE, lazy=cfg.lazy)
+                                        SEG_SIZE=SEG_SIZE, lazy=cfg.lazy,
+                                        split_far=cfg.max_code_bits <= 9)
         return tv, td, cnt, n_valid
 
     # --- phase 1: global histograms
     ll_total = np.zeros(C.NUM_LITLEN_SYMBOLS, np.int64)
     d_total = np.zeros(C.NUM_DIST_SYMBOLS, np.int64)
     kept = {}
+    max_tokens = 0
     spans = [(d0, min(nblocks, d0 + Bp)) for d0 in range(0, nblocks, Bp)]
     for d0, d1 in spans:
         tv, td, cnt, n_valid = run_dispatch(d0, d1)
+        max_tokens = max(max_tokens, int(jnp.max(cnt)))
         with stats.timer("symbols"), trace("zlibes.symbols"):
             lsym, dsym, valid, ll_freq, d_freq = token_symbols(
                 tv, td, cnt, nseg=nseg)
@@ -326,7 +329,7 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
     stats.bytes_out += len(body)
     stats.blocks += len(blocks)
     is_turbo = (cfg.max_code_bits <= 9 and cfg.chunk_reset == 4096
-                and cfg.seg_size == 1024)
+                and cfg.seg_size == 512)
     index = StreamIndex(
         blocks,
         np.asarray(anchor_bit, np.int64),
@@ -334,6 +337,7 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
         np.asarray(anchor_block, np.int32),
         chunk_reset=cfg.chunk_reset,
         turbo=is_turbo,
+        max_tokens=max_tokens,
     )
     return body, index
 

@@ -1,6 +1,6 @@
 """Turbo inflate pipeline: anchor-lane extraction + Pallas lock-step decode
 + chunk-row LZ resolve, for streams carrying the turbo profile
-(CodecConfig.turbo(): shared 9-bit-capped tables, 1 KiB anchors, 4 KiB
+(CodecConfig.turbo(): shared 9-bit-capped tables, 512 B anchors, 4 KiB
 window reset).
 
 Replaces the round-1 XLA while_loop decoder (one ~7 ns scalar gather per
@@ -20,6 +20,8 @@ from ..spec import constants as C
 from ..spec.errors import CorruptError
 from ..spec.refmodel import StreamIndex
 
+SUB = tk.SUB
+
 
 def _bucket(n: int, lo: int) -> int:
     return max(lo, 1 << (max(n, 1) - 1).bit_length())
@@ -31,8 +33,8 @@ def _glue_tokens(tokens: jax.Array,  # (T, L) int32 packed
                  T: int, C_pad: int):
     """Token post-pass: per-token start offsets + resolve-layout reshape.
 
-    Returns (toks4, starts4): (4, C_pad, TOKENS_PAD) int32 with invalid
-    slots carrying start 2048 (past any in-span position).
+    Returns (toks8, starts8): (SUBS_PER_CHUNK, C_pad, TOKENS_PAD) int32
+    with invalid slots carrying start 2048 (past any in-span position).
     """
     L = tokens.shape[1]
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, L), 0)
@@ -42,25 +44,26 @@ def _glue_tokens(tokens: jax.Array,  # (T, L) int32 packed
     lens = jnp.where(valid, jnp.where(ism, val, 1), 0)
     ends = jnp.cumsum(lens, axis=0)
     starts = jnp.where(valid, ends - lens, 2048)
-    # (T, L) -> (4, C_pad, TOKENS_PAD)
+
+    spc = tk.SUBS_PER_CHUNK
+
     def relayout(x, fill):
         x = x.T  # (L, T)
         pad = tk.TOKENS_PAD - T
         x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill)
-        x = x.reshape(C_pad, 4, tk.TOKENS_PAD)
+        x = x.reshape(C_pad, spc, tk.TOKENS_PAD)
         return jnp.transpose(x, (1, 0, 2))
     return relayout(jnp.where(valid, tokens, 0), 0), relayout(starts, 2048)
 
 
 def _lane_spans(index: StreamIndex):
     """Per-anchor (bit0, end_bit) absolute spans; anchors are dense every
-    1 KiB of output (turbo profile)."""
+    SUB bytes of output (turbo profile)."""
     na = index.anchor_bit.size
     bit0 = index.anchor_bit.astype(np.int64)
     blk = index.anchor_block.astype(np.int64)
     end = np.empty(na, np.int64)
     end[:-1] = bit0[1:]
-    # last anchor of each block ends at the block's end_bit
     blk_end = np.asarray([b.end_bit for b in index.blocks], np.int64)
     last_of_block = np.ones(na, bool)
     last_of_block[:-1] = blk[1:] != blk[:-1]
@@ -68,11 +71,43 @@ def _lane_spans(index: StreamIndex):
     return bit0, end
 
 
+def _lane_grid(arr: np.ndarray, L_pad: int, LB: int) -> np.ndarray:
+    """(L,) per-lane values -> (8, L_pad//8) lane-grid matching the decode
+    kernel's per-grid-step (8, LB//8) blocks (lane l of step i sits at
+    row l // (LB//8), column i*(LB//8) + l % (LB//8))."""
+    x = np.zeros(L_pad, arr.dtype)
+    x[: arr.size] = arr
+    return np.ascontiguousarray(
+        x.reshape(L_pad // LB, 8, LB // 8).transpose(1, 0, 2)
+    ).reshape(8, L_pad // 8)
+
+
+@partial(jax.jit, static_argnames=("LB",))
+def _to_planes(lanes: jax.Array, LB: int):
+    """(L, SW) stream rows -> (SW, 8, L//8) lane-grid word-planes."""
+    L, SW = lanes.shape
+    GB = LB // 8
+    x = lanes.reshape(L // LB, 8, GB, SW)
+    return jnp.transpose(x, (3, 1, 0, 2)).reshape(SW, 8, L // 8)
+
+
+@partial(jax.jit, static_argnames=("LB",))
+def _from_grid(x: jax.Array, LB: int):
+    """(..., 8, L//8) lane-grid -> (..., L) lane-ordered."""
+    *lead, _, G = x.shape
+    L = G * 8
+    GB = LB // 8
+    y = x.reshape(*lead, 8, L // LB, GB)
+    order = tuple(range(len(lead))) + (len(lead) + 1, len(lead),
+                                       len(lead) + 2)
+    return jnp.transpose(y, order).reshape(*lead, L)
+
+
 class TurboPlan:
     """Host-prepared device arrays for one turbo stream (reusable)."""
 
     __slots__ = ("words", "starts_w", "bit0", "endb", "lt", "dt", "L", "L_pad",
-                 "C_pad", "total_out", "lane_end_check")
+                 "C_pad", "T", "LB", "total_out", "lane_end_check")
 
     @staticmethod
     def build(data: bytes, index: StreamIndex,
@@ -92,23 +127,24 @@ class TurboPlan:
 
         bit0_abs, end_abs = _lane_spans(index)
         L = bit0_abs.size
-        # sanity: anchors dense at 1 KiB grid
         if not np.array_equal(index.anchor_out,
-                              np.arange(L, dtype=np.int64) * 1024):
-            raise CorruptError("turbo anchors must tile output every 1 KiB")
+                              np.arange(L, dtype=np.int64) * SUB):
+            raise CorruptError(
+                f"turbo anchors must tile output every {SUB} B")
         starts_w = (bit0_abs >> 5).astype(np.int32)
         bit0_in = (bit0_abs - (starts_w.astype(np.int64) << 5)).astype(np.int32)
         endb_in = (end_abs - (starts_w.astype(np.int64) << 5)).astype(np.int32)
-        if int(endb_in.max(initial=0)) > (tk.STREAM_WORDS - 2) * 32:
+        if int(endb_in.max(initial=0)) > (tk.STREAM_WORDS - 4) * 32:
             raise CorruptError("anchor span exceeds the lane stream window")
 
         p = TurboPlan()
         p.L = L
+        p.LB = lane_block
         p.L_pad = _bucket(L, lane_block)
-        p.C_pad = _bucket(-(-p.L_pad // 4), tk.CHUNK_BLOCK)
-        if p.C_pad * 4 > p.L_pad:
-            p.L_pad = p.C_pad * 4
+        p.C_pad = p.L_pad // tk.SUBS_PER_CHUNK
         p.total_out = index.total_out
+        mt = int(getattr(index, "max_tokens", 0)) or tk.MAX_TOKENS
+        p.T = tk.MAX_TOKENS if mt + 2 > 272 else 272
 
         raw = np.frombuffer(data, np.uint8)
         npad = (-raw.size) % 4 + 4 * (tk.STREAM_WORDS + 2)
@@ -117,18 +153,23 @@ class TurboPlan:
         p.words = jnp.asarray(np.pad(words, (0, nw - words.size))
                               .astype(np.int64).astype(np.int32))
         sw = np.zeros(p.L_pad, np.int32)
-        b0 = np.zeros((p.L_pad, 1), np.int32)
-        eb = np.zeros((p.L_pad, 1), np.int32)
         sw[:L] = starts_w
-        b0[:L, 0] = bit0_in
-        eb[:L, 0] = endb_in
         p.starts_w = jnp.asarray(sw)
-        p.bit0 = jnp.asarray(b0)
-        p.endb = jnp.asarray(eb)
+        p.bit0 = jnp.asarray(_lane_grid(bit0_in, p.L_pad, lane_block))
+        p.endb = jnp.asarray(_lane_grid(endb_in, p.L_pad, lane_block))
         p.lane_end_check = endb_in
         p.lt = jnp.asarray(lt)
         p.dt = jnp.asarray(dt)
         return p
+
+    def check_meta(self, meta: np.ndarray) -> None:
+        """Validate decode metadata (lane-grid column layout -> lane order
+        matches token columns: lane l is column l of the (8, L) meta)."""
+        L = self.L
+        if meta[2, :L].any() or meta[3, :L].any():
+            raise CorruptError("invalid Huffman data in turbo lane")
+        if not (meta[1, :L] == self.lane_end_check).all():
+            raise CorruptError("turbo lane did not end at its anchor")
 
 
 def run_turbo(plan: TurboPlan, check: bool = True):
@@ -136,18 +177,17 @@ def run_turbo(plan: TurboPlan, check: bool = True):
     chunk rows (device-resident) — output bytes are rows flattened and cut
     at plan.total_out."""
     lanes = tk.extract_lanes(plan.words, plan.starts_w)
-    tokens, meta = tk.decode_turbo(lanes, plan.bit0, plan.endb,
-                                   plan.lt, plan.dt)
+    planes = _to_planes(lanes, LB=plan.LB)
+    tokens_g, meta_g = tk.decode_turbo(planes, plan.bit0, plan.endb,
+                                       plan.lt, plan.dt, T=plan.T,
+                                       LB=plan.LB)
+    tokens = _from_grid(tokens_g, LB=plan.LB)
+    meta = _from_grid(meta_g, LB=plan.LB)
     if check:
-        m = np.asarray(meta)
-        L = plan.L
-        if m[2, :L].any() or m[3, :L].any():
-            raise CorruptError("invalid Huffman data in turbo lane")
-        if not (m[1, :L] == plan.lane_end_check).all():
-            raise CorruptError("turbo lane did not end at its anchor")
-    toks4, starts4 = _glue_tokens(tokens, meta[0], T=tokens.shape[0],
+        plan.check_meta(np.asarray(meta))
+    toks8, starts8 = _glue_tokens(tokens, meta[0], T=plan.T,
                                   C_pad=plan.C_pad)
-    return tk.resolve_turbo(toks4, starts4)
+    return tk.resolve_turbo(toks8, starts8)
 
 
 def inflate_raw_turbo(data: bytes, index: StreamIndex,

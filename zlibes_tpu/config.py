@@ -20,8 +20,8 @@ class CodecConfig:
 
     block_size: int = C.BLOCK_MAX_BUFFER_LEN  # bytes per DEFLATE block
     seg_size: int = 4096       # greedy-selection segment / decode anchor span
-    probe_words: int = 16      # match-length probe u32s (cap = 4*S+3 bytes)
-    candidates: int = 16       # sorted-order match candidates per position
+    probe_words: int = 32      # match-length probe u32s (cap = 4*S+3 bytes)
+    candidates: int = 24       # sorted-order match candidates per position
     lazy: bool = True          # one-step lazy matching
     blocks_per_dispatch: int = 16
     force_stored: bool = False  # level 0: raw stored blocks, no coding
@@ -54,10 +54,11 @@ class CodecConfig:
         """The TPU-native fast profile: streams remain 100% zlib-conformant
         (any inflate decodes them) but carry the structure the Pallas
         lock-step inflate kernel needs — window reset every 4 KiB, decode
-        anchors every 1 KiB, one shared stream-wide table pair with code
-        lengths capped at 9 bits."""
+        anchors every 512 B, one shared stream-wide table pair with code
+        lengths capped at 9 bits, and no token wider than 32 bits (far
+        long matches split so the decode buffer refill never stalls)."""
         return CodecConfig(
-            seg_size=1024, chunk_reset=4096, shared_tables=True,
+            seg_size=512, chunk_reset=4096, shared_tables=True,
             max_code_bits=9, candidates=candidates,
             probe_words=probe_words, lazy=lazy)
 
@@ -75,8 +76,8 @@ class CodecConfig:
             3: dict(probe_words=8, candidates=4, lazy=False),
             4: dict(probe_words=8, candidates=8, lazy=False),
             5: dict(probe_words=8, candidates=8, lazy=True),
-            6: dict(probe_words=16, candidates=16, lazy=True),
-            7: dict(probe_words=16, candidates=24, lazy=True),
+            6: dict(probe_words=32, candidates=24, lazy=True),
+            7: dict(probe_words=32, candidates=32, lazy=True),
             8: dict(probe_words=24, candidates=32, lazy=True),
             9: dict(probe_words=32, candidates=48, lazy=True),
         }

@@ -158,7 +158,8 @@ def find_matches(
     return packed
 
 
-@partial(jax.jit, static_argnames=("N", "SEG_SIZE", "lazy", "start"))
+@partial(jax.jit, static_argnames=("N", "SEG_SIZE", "lazy", "start",
+                                   "split_far"))
 def select_tokens(
     data: jax.Array,     # uint8 (B, N + 8)
     matches: jax.Array,  # int32 (B, N) packed (len<<16)|dist
@@ -167,6 +168,9 @@ def select_tokens(
     SEG_SIZE: int = SEG,
     lazy: bool = True,
     start: int = 0,
+    split_far: bool = False,  # turbo profile: cap (len>=131, dist>=2049)
+    # matches at len 130 so no coded token exceeds 32 bits — the decode
+    # kernel's single-word-per-iteration refill is then stall-free
 ):
     """Greedy(+lazy) tokenization over segment lanes.
 
@@ -209,6 +213,8 @@ def select_tokens(
         dist = pb & 0xFFFF
         lit = dflat[csafe]
         ml = jnp.minimum(ml, seg_end - c)  # clamp at segment end
+        if split_far:
+            ml = jnp.where((ml >= 131) & (dist >= 2049), 130, ml)
         use = ml >= C.MIN_MATCH
         if lazy:
             pb1 = mflat[jnp.minimum(csafe + 1, B * N - 1)]

@@ -7,23 +7,32 @@ This is the TPU replacement for the reference's bit-serial symbol loop
 chosen for lock-step vector decode:
 
   * one shared (litlen, dist) table pair for the whole stream, code
-    lengths capped at 9 bits → the primary decode table is 512 entries,
-    looked up in one MXU one-hot matmul per symbol for ALL lanes at once;
-  * decode anchors every 1 KiB of output → thousands of independent
-    1 KiB sub-chunk lanes decode in lock step (one symbol per lane per
-    loop iteration; the loop is latency-bound at ~0.5 µs/iter regardless
-    of lane count, so throughput scales with lanes);
+    lengths capped at 9 bits → decode tables are 512 packed int32
+    entries, served by shape-matched vreg gathers (tpu.dynamic_gather);
+  * decode anchors every 512 B of output → thousands of independent
+    sub-chunk lanes decode in lock step, one symbol per lane per loop
+    iteration;
   * LZ window reset every 4 KiB of output → back-references never leave a
     4 KiB chunk, so resolution is chunk-row-local: the resolve kernel
     walks each chunk in 128-byte tiles, serving sources in already-written
     tiles from VMEM with banked per-vreg gathers and in-tile overlaps with
     log2(128) pointer-doubling rounds.
 
-Hardware cost model (measured, tools/probe_pallas*.py on TPU v5e):
-dependent Pallas loop iterations cost ~0.3-0.5 µs regardless of vector
-width; tpu.dynamic_gather supports shape-matched 2D take_along_axis along
-the minor axis; XLA-level scalar gathers cost ~7 ns/element (the round-1
-bottleneck this file replaces).
+Decode-loop design notes (cost model measured via scan-amortized timing —
+the only trustworthy method on this setup, tools/probe_pallas*.py):
+
+  * All per-lane state lives in one (8, 128) vreg per variable, so the
+    ~40 scalar ops per iteration cost ~40 vector instructions total.
+  * Table lookups are per-bank vreg gathers from (8, 128) tiles whose
+    sublanes all hold the same 128 table entries; 4 banks + selects serve
+    all 1024 lanes in ~10 instructions.
+  * The stream refill is the throughput floor: each lane owns a 256-word
+    row, and a per-lane row gather costs ~1 instruction per 8 lanes per
+    bank.  A 96-bit shift buffer per lane turns that into exactly ONE
+    refill gather per iteration, stall-free: consumption per iteration is
+    at most 33 bits, and >32-bit tokens need a 5-bit length-extra field,
+    i.e. cover >=131 output bytes, so at most 4 such tokens exist per
+    512 B sub-chunk — the buffer never drains below 33 valid bits.
 """
 from __future__ import annotations
 
@@ -42,16 +51,18 @@ from . import huffman
 # table width: turbo streams cap code lengths at 9 bits
 M_BITS = 9
 TABLE = 1 << M_BITS
-# decode lanes per kernel invocation (compile-size/VMEM sweet spot)
+# output bytes per decode lane (sub-chunk span; anchors every SUB bytes)
+SUB = 512
+SUBS_PER_CHUNK = 4096 // SUB
+# decode lanes per kernel invocation
 LANE_BLOCK = 1024
-# stream words per decode lane: worst case is ceil(1024/3) 33-bit match
-# tokens = 11264 bits = 352 words, plus ≤31 bits word alignment + 64-bit
-# window slack
-STREAM_WORDS = 384
-# max tokens per 1 KiB sub-chunk lane (+EOB slack)
-MAX_TOKENS = 1040
-# token-array banks in the resolve kernel (multiple of 128 ≥ MAX_TOKENS)
-TOKENS_PAD = 1152
+# stream words per decode lane: worst case is ceil(SUB/3) 33-bit match
+# tokens = 5632 bits = 176 words, plus word alignment + buffer lookahead
+STREAM_WORDS = 256
+# max tokens per sub-chunk lane (SUB literals) + slack
+MAX_TOKENS = 528
+# token-array width in the resolve kernel (multiple of 128 >= MAX_TOKENS)
+TOKENS_PAD = 640
 # chunk rows per resolve kernel invocation
 CHUNK_BLOCK = 128
 
@@ -68,59 +79,60 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _params():
+    if _interpret():
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 # ---------------------------------------------------------------------------
 # table construction (host, header-sized work)
 
 def turbo_decode_tables(ll_len: np.ndarray, d_len: np.ndarray):
-    """Flat LSB-first decode tables as MXU one-hot payload matrices.
+    """Flat LSB-first decode tables as packed int32, replicated across the
+    8 sublanes for per-vreg bank gathers.
 
-    Returns (lt (512, 8) f32, dt (512, 8) f32).
-      lt columns: 0 codelen (0 = invalid), 1 kind, 2 base_lo, 3 extra#,
-                  4 base_hi
-      dt columns: 0 codelen (0 = invalid), 1 extra#, 2 base_lo, 3 base_hi
-    Base values are split into lo/hi bytes: the MXU one-hot matmul runs
-    through bf16, which is exact only for integers <= 255 — a fused f32
-    product would silently round e.g. distance base 265 to 264.
+    Returns (lt (8, 512) int32, dt (8, 512) int32).
+      litlen entry: codelen(4b) | kind(2b @4) | extra#(3b @6) | base(9b @9)
+      dist entry:   codelen(4b) | extra#(4b @4) | base(15b @8)
+    codelen 0 marks an invalid bit pattern.
     """
     ll_len = np.asarray(ll_len, np.int64)
     d_len = np.asarray(d_len, np.int64)
     if int(ll_len.max(initial=0)) > M_BITS or int(d_len.max(initial=0)) > M_BITS:
         raise CorruptError("turbo stream requires code lengths <= 9 bits")
 
-    def flat(lengths, cols_fn, ncols):
+    def flat(lengths, entry_fn):
         codes = huffman.canonical_codes_batch(lengths[None, :])[0]
-        tab = np.zeros((TABLE, 8), np.float32)
+        tab = np.zeros(TABLE, np.int32)
         for sym in range(lengths.size):
             l = int(lengths[sym])
             if l == 0:
                 continue
             base = int(huffman._REV16[int(codes[sym])] >> (16 - l))
-            row = cols_fn(sym, l)
+            e = entry_fn(sym, l)
             for idx in range(base, TABLE, 1 << l):
-                tab[idx, :ncols] = row
-        return tab
+                tab[idx] = e
+        return np.broadcast_to(tab, (8, TABLE)).copy()
 
-    def ll_cols(sym, l):
+    def ll_entry(sym, l):
         if sym < 256:
-            return (l, _KIND_LIT, sym & 255, 0, sym >> 8)
+            return l | (_KIND_LIT << 4) | (sym << 9)
         if sym == C.END_OF_BLOCK:
-            return (l, _KIND_EOB, 0, 0, 0)
+            return l | (_KIND_EOB << 4)
         if sym < 286:
             i = sym - 257
-            base = int(C.LENGTH_BASE[i])
-            return (l, _KIND_LEN, base & 255, int(C.LENGTH_EXTRA_BITS[i]),
-                    base >> 8)
-        return (l, _KIND_INVALID, 0, 0, 0)
+            return (l | (_KIND_LEN << 4) | (int(C.LENGTH_EXTRA_BITS[i]) << 6)
+                    | (int(C.LENGTH_BASE[i]) << 9))
+        return l | (_KIND_INVALID << 4)
 
-    def d_cols(sym, l):
+    def d_entry(sym, l):
         if sym < 30:
-            base = int(C.DIST_BASE[sym])
-            return (l, int(C.DIST_EXTRA_BITS[sym]), base & 255, base >> 8)
-        return (0, 0, 0, 0)  # reserved distance symbols: invalid
+            return (l | (int(C.DIST_EXTRA_BITS[sym]) << 4)
+                    | (int(C.DIST_BASE[sym]) << 8))
+        return 0  # reserved distance symbols: invalid
 
-    lt = flat(ll_len, ll_cols, 5)
-    dt = flat(d_len, d_cols, 4)
-    return lt, dt
+    return flat(ll_len, ll_entry), flat(d_len, d_entry)
 
 
 # ---------------------------------------------------------------------------
@@ -132,7 +144,7 @@ def extract_lanes(words: jax.Array, starts_w: jax.Array, SW: int = STREAM_WORDS)
 
     words: (Nw,) int32 little-endian u32 words of the compressed stream
     starts_w: (L,) int32 per-lane first word index
-    Returns (L, SW) int32 rows.  Measured ~34 GB/s on v5e (probe 4).
+    Returns (L, SW) int32 rows.
     """
     def one(s):
         return jax.lax.dynamic_slice(words, (s,), (SW,))
@@ -142,75 +154,116 @@ def extract_lanes(words: jax.Array, starts_w: jax.Array, SW: int = STREAM_WORDS)
 # ---------------------------------------------------------------------------
 # stage 2: lock-step token decode
 
+def _tab_gather(tab, idx):
+    """Shared-table lookup: tab (8, 512) sublane-replicated, idx (8, G)
+    lane-grid indices in [0, 512).  4 bank gathers + selects."""
+    lob = idx & 127
+    hib = idx >> 7
+    out = jnp.zeros_like(idx)
+    for b in range(TABLE // 128):
+        bank = jnp.broadcast_to(tab[:, b * 128 : (b + 1) * 128],
+                                (idx.shape[0], 128))
+        g = jnp.take_along_axis(bank, lob, axis=1)
+        out = jnp.where(hib == b, g, out)
+    return out
+
+
+def _plane_select(planes, p):
+    """Per-lane word fetch from lane-grid word-planes.
+
+    planes: (SW, 8, G) — plane w holds word w of every lane in lane-grid
+    layout; p: (8, G) per-lane word indices.  Log-tree select: SW-1 vreg
+    selects total (the per-lane stream refill has no gather-friendly
+    layout on this hardware — dynamic_gather only runs along the minor
+    axis of a shape-matched 2D operand)."""
+    SW = planes.shape[0]
+    cands = [planes[w] for w in range(SW)]
+    stride = 1
+    bit = 0
+    while stride < SW:
+        take_hi = (p & (1 << bit)) != 0
+        cands = [jnp.where(take_hi, hi, lo)
+                 for lo, hi in zip(cands[0::2], cands[1::2])]
+        stride <<= 1
+        bit += 1
+    return cands[0]
+
+
+def _shl(x, s):
+    """x << s for s in [0, 32), uint32."""
+    return x << s
+
+
 def _shl32m(x, s):
-    """x << (32 - s) for s in [0, 32), well-defined at s == 0 (yields 0)."""
+    """x << (32 - s) for s in [0, 32), yields 0 at s == 0."""
     return (x << (jnp.uint32(31) - s)) << 1
 
 
-def _decode_kernel(lt_ref, dt_ref, words_ref, bit0_ref, endb_ref,
+def _shr32m(x, s):
+    """x >> (32 - s) for s in [0, 32), yields 0 at s == 0."""
+    return (x >> (jnp.uint32(31) - s)) >> 1
+
+
+def _decode_kernel(lt_ref, dt_ref, planes_ref, bit0_ref, endb_ref,
                    tok_ref, meta_ref, *, T: int):
-    L = words_ref.shape[0]
-    SW = words_ref.shape[1]
-    rows = words_ref[:]
-    # rows1[:, p] == rows[:, p+1]
-    rows1 = pltpu_roll(rows, SW - 1)
+    SW = planes_ref.shape[0]
+    planes = planes_ref[:]
     lt = lt_ref[:]
     dt = dt_ref[:]
-    iota_sw = jax.lax.broadcasted_iota(jnp.int32, (L, SW), 1)
-    iota_tb = jax.lax.broadcasted_iota(jnp.int32, (L, TABLE), 1)
-    bit0 = bit0_ref[:]
+    bit0 = bit0_ref[:]      # (8, G) lane-grid
     endb = endb_ref[:]
 
+    # --- initial buffer fill: 2 words at the aligned word below bit0
+    p0 = bit0 >> 5
+    s0 = (bit0 & 31).astype(jnp.uint32)
+    wa = _plane_select(planes, p0).astype(jnp.uint32)
+    wb = _plane_select(planes, p0 + 1).astype(jnp.uint32)
+    # discard the s0 already-consumed bits: buffer holds bits from bit0 on
+    lo0 = (wa >> s0) | _shl32m(wb, s0)
+    mid0 = wb >> s0
+    nbits0 = (jnp.int32(64) - (bit0 & 31)).astype(jnp.int32)
+
     def cond(state):
-        t, _bp, active_i, _err, _cnt = state
+        t, *_rest, active_i, _err, _cnt = state
         return (t < T) & (jnp.max(active_i) > 0)
 
     def body(state):
-        t, bitpos, active_i, err_i, count = state
+        (t, bitpos, p, lo, mid, hi, nbits, active_i, err_i, count) = state
         active = active_i > 0
         err = err_i > 0
-        # --- stateless window at bitpos (2 words via one one-hot).  Only
-        # 33 window bits are ever consumed per iteration (litlen 9+5 +
-        # dist 9+10), and lo|hi carries 64-s >= 33 valid bits for any s.
-        p = bitpos >> 5
-        oh = iota_sw == p
-        w0 = jnp.sum(jnp.where(oh, rows, 0), axis=1, keepdims=True)
-        w1 = jnp.sum(jnp.where(oh, rows1, 0), axis=1, keepdims=True)
-        w0u, w1u = w0.astype(jnp.uint32), w1.astype(jnp.uint32)
-        s = (bitpos & 31).astype(jnp.uint32)
-        lo = (w0u >> s) | _shl32m(w1u, s)
-        hi = w1u >> s
-        # --- litlen symbol: one MXU one-hot lookup
-        idx = (lo & (TABLE - 1)).astype(jnp.int32)
-        ohe = (iota_tb == idx).astype(jnp.float32)
-        e = jnp.dot(ohe, lt, preferred_element_type=jnp.float32)
-        ln = e[:, 0:1].astype(jnp.int32)
-        kind = e[:, 1:2].astype(jnp.int32)
-        base = e[:, 2:3].astype(jnp.int32) + (e[:, 4:5].astype(jnp.int32) << 8)
-        eb = e[:, 3:4].astype(jnp.int32)
+        # --- litlen symbol
+        e = _tab_gather(lt, (lo & (TABLE - 1)).astype(jnp.int32))
+        ln = e & 15
+        kind = (e >> 4) & 3
+        eb = (e >> 6) & 7
+        base = (e >> 9) & 511
         lnu = ln.astype(jnp.uint32)
         extra = ((lo >> lnu) & ((jnp.uint32(1) << eb.astype(jnp.uint32)) - 1)
                  ).astype(jnp.int32)
-        val = base + jnp.where(kind == _KIND_LEN, extra, 0)
-        val = jnp.where(kind == _KIND_LIT, base, val)
-        k1 = (ln + eb).astype(jnp.uint32)
-        # --- distance symbol (masked out for literals/EOB)
-        lo2 = (lo >> k1) | _shl32m(hi, k1)
-        didx = (lo2 & (TABLE - 1)).astype(jnp.int32)
-        ohd = (iota_tb == didx).astype(jnp.float32)
-        de = jnp.dot(ohd, dt, preferred_element_type=jnp.float32)
-        dln = de[:, 0:1].astype(jnp.int32)
-        deb = de[:, 1:2].astype(jnp.int32)
-        dbase = (de[:, 2:3].astype(jnp.int32)
-                 + (de[:, 3:4].astype(jnp.int32) << 8))
-        dex = ((lo2 >> dln.astype(jnp.uint32))
-               & ((jnp.uint32(1) << deb.astype(jnp.uint32)) - 1)
+        val = jnp.where(kind == _KIND_LEN, base + extra, base)
+        k1 = (ln + eb).astype(jnp.uint32)  # 1..14 (0 only for invalid codes)
+        # consume k1 from the 96-bit buffer
+        lo = (lo >> k1) | _shl32m(mid, k1)
+        mid = (mid >> k1) | _shl32m(hi, k1)
+        hi = hi >> k1
+        # --- distance symbol (result masked out for literals/EOB)
+        de = _tab_gather(dt, (lo & (TABLE - 1)).astype(jnp.int32))
+        dln = de & 15
+        deb = (de >> 4) & 15
+        dbase = (de >> 8) & 0x7FFF
+        dlnu = dln.astype(jnp.uint32)
+        dex = ((lo >> dlnu) & ((jnp.uint32(1) << deb.astype(jnp.uint32)) - 1)
                ).astype(jnp.int32)
         dist = dbase + dex
         is_len = kind == _KIND_LEN
         is_eob = kind == _KIND_EOB
-        k = (ln + eb) + jnp.where(is_len, dln + deb, 0)
-        newpos = bitpos + k
+        k2 = jnp.where(is_len, dln + deb, 0).astype(jnp.uint32)  # 0..19
+        lo = (lo >> k2) | _shl32m(mid, k2)
+        mid = (mid >> k2) | _shl32m(hi, k2)
+        hi = hi >> k2
+        k = (k1 + k2).astype(jnp.int32)
+        nbits = nbits - k
+        newpos = bitpos + jnp.where(active, k, 0)
         bad = ((ln == 0) | (kind == _KIND_INVALID)
                | (is_len & ((dln == 0) | (dist > TOK_DIST_MASK)))
                | (newpos > endb))
@@ -218,71 +271,90 @@ def _decode_kernel(lt_ref, dt_ref, words_ref, bit0_ref, endb_ref,
         tok = jnp.where(
             is_len, val | (dist << TOK_DIST_SHIFT) | TOK_MATCH_BIT, val)
         tok = jnp.where(emit, tok, 0)
-        tok_ref[pl.ds(t, 1), :] = tok.reshape(1, L)
+        tok_ref[pl.ds(t, 1)] = tok[None]
         count = count + emit.astype(jnp.int32)
         err = err | (active & bad)
         bitpos = jnp.where(active & ~bad, newpos, bitpos)
         active = active & ~bad & ~is_eob & (newpos < endb)
-        return (t + 1, bitpos, active.astype(jnp.int32),
-                err.astype(jnp.int32), count)
+        # --- refill: one word when there is space (stall-free: the turbo
+        # encoder splits far long matches so no token exceeds 32 bits)
+        need = nbits <= 64
+        w = _plane_select(planes, jnp.where(need, p, 0) & (SW - 1)
+                          ).astype(jnp.uint32)
+        s = nbits.astype(jnp.uint32)  # insertion offset, 0..64 when needed
+        s31 = s & 31
+        in_lo = jnp.where(s < 32, _shl(w, s31), 0)
+        in_mid = jnp.where(s < 32, _shr32m(w, s31),
+                           jnp.where(s < 64, _shl(w, s31), 0))
+        in_hi = jnp.where(s < 32, 0,
+                          jnp.where(s < 64, _shr32m(w, s31), w))
+        lo = jnp.where(need, lo | in_lo, lo)
+        mid = jnp.where(need, mid | in_mid, mid)
+        hi = jnp.where(need, hi | in_hi, hi)
+        p = p + need.astype(jnp.int32)
+        nbits = nbits + jnp.where(need, 32, 0)
+        return (t + 1, bitpos, p, lo, mid, hi, nbits,
+                active.astype(jnp.int32), err.astype(jnp.int32), count)
 
+    G = bit0.shape
     active0 = (bit0 < endb).astype(jnp.int32)
-    state = (jnp.int32(0), bit0, active0,
-             jnp.zeros((L, 1), jnp.int32), jnp.zeros((L, 1), jnp.int32))
-    t, bitpos, active_i, err_i, count = jax.lax.while_loop(cond, body, state)
-    meta_ref[0:1, :] = count.reshape(1, L)
-    meta_ref[1:2, :] = bitpos.reshape(1, L)
-    meta_ref[2:3, :] = err_i.reshape(1, L)
-    meta_ref[3:4, :] = active_i.reshape(1, L)
-
-
-def pltpu_roll(x, shift):
-    """Static circular shift along the minor axis (interpret-safe)."""
-    if _interpret():
-        return jnp.roll(x, shift, axis=1)
-    return pltpu.roll(x, shift, 1)
+    zero = jnp.zeros(G, jnp.int32)
+    state = (jnp.int32(0), bit0, p0 + 2, lo0, mid0, jnp.zeros(G, jnp.uint32),
+             nbits0, active0, zero, zero)
+    (t, bitpos, _p, _lo, _mid, _hi, _nb, active_i, err_i, count
+     ) = jax.lax.while_loop(cond, body, state)
+    meta_ref[0] = count
+    meta_ref[1] = bitpos
+    meta_ref[2] = err_i
+    meta_ref[3] = active_i
 
 
 @partial(jax.jit, static_argnames=("T", "LB"))
-def decode_turbo(lane_words: jax.Array,  # (L, SW) int32
-                 bit0: jax.Array,        # (L, 1) int32 in-row bit offsets
-                 endb: jax.Array,        # (L, 1) int32 in-row end bits
-                 lt: jax.Array,          # (512, 8) f32
-                 dt: jax.Array,          # (512, 8) f32
+def decode_turbo(planes: jax.Array,  # (SW, 8, L//8) int32 word-planes
+                 bit0: jax.Array,    # (8, L//8) int32 lane-grid bit offsets
+                 endb: jax.Array,    # (8, L//8) int32 lane-grid end bits
+                 lt: jax.Array,      # (8, 512) int32
+                 dt: jax.Array,      # (8, 512) int32
                  T: int = MAX_TOKENS,
                  LB: int = LANE_BLOCK):
-    """Lock-step decode of L sub-chunk lanes; one symbol/lane/iteration.
+    """Lock-step decode; one symbol per lane per iteration.
 
-    Returns (tokens (T, L) int32 packed, meta (8, L) int32):
-    meta rows: 0 token count, 1 end bit position, 2 error flag,
+    Lane-grid layout: lane l of grid step i sits at [.., l // (LB//8),
+    i*(LB//8) + l % (LB//8)] of every (…, 8, L//8) array.
+
+    Returns (tokens (T, 8, L//8) int32 packed, meta (4, 8, L//8) int32):
+    meta planes: 0 token count, 1 end bit position, 2 error flag,
     3 still-active-after-T flag (also an error).
     """
-    L, SW = lane_words.shape
+    SW, _, G = planes.shape
+    L = G * 8
     assert L % LB == 0
+    GB = LB // 8
     grid = (L // LB,)
     return pl.pallas_call(
         partial(_decode_kernel, T=T),
         grid=grid,
-        out_shape=(jax.ShapeDtypeStruct((T, L), jnp.int32),
-                   jax.ShapeDtypeStruct((8, L), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((T, 8, G), jnp.int32),
+                   jax.ShapeDtypeStruct((4, 8, G), jnp.int32)),
         in_specs=[
-            pl.BlockSpec((TABLE, 8), lambda i: (0, 0),
+            pl.BlockSpec((8, TABLE), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TABLE, 8), lambda i: (0, 0),
+            pl.BlockSpec((8, TABLE), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LB, SW), lambda i: (i, 0),
+            pl.BlockSpec((SW, 8, GB), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((LB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, GB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, GB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((T, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 8, GB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 8, GB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
         ),
-        compiler_params=None if _interpret() else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_params(),
         interpret=_interpret(),
-    )(lt, dt, lane_words, bit0, endb)
+    )(lt, dt, planes, bit0, endb)
 
 
 # ---------------------------------------------------------------------------
@@ -303,15 +375,16 @@ def _resolve_kernel(toks_ref, starts_ref, out_ref, scratch_ref):
     CB = out_ref.shape[0]
     iota128 = jax.lax.broadcasted_iota(jnp.int32, (CB, 128), 1)
     nb_tok = TOKENS_PAD // 128
+    tiles_per_sub = SUB // 128
 
-    for m in range(4):  # sub-lane within the chunk (1 KiB spans)
+    for m in range(SUBS_PER_CHUNK):  # sub-lane within the chunk
         toks_m = toks_ref[m]      # (CB, TOKENS_PAD)
         starts_m = starts_ref[m]
         ktok = jnp.zeros((CB, 128), jnp.int32)  # broadcast cursor
-        for j in range(8):  # 128-byte tile within the 1 KiB span
-            t = m * 8 + j
+        for j in range(tiles_per_sub):  # 128-byte tile within the sub-span
+            t = m * tiles_per_sub + j
             qbase = t * 128
-            q_local = j * 128 + iota128          # within the 1 KiB span
+            q_local = j * 128 + iota128          # within the SUB-byte span
             idxw = jnp.minimum(ktok + iota128, TOKENS_PAD - 1)
             toks_f = _pgather(toks_m, idxw, nb_tok)
             starts_f = _pgather(starts_m, idxw, nb_tok)
@@ -363,31 +436,27 @@ def _resolve_kernel(toks_ref, starts_ref, out_ref, scratch_ref):
 
 
 @jax.jit
-def resolve_turbo(toks: jax.Array,    # (4, C, TOKENS_PAD) int32
-                  starts: jax.Array):  # (4, C, TOKENS_PAD) int32
+def resolve_turbo(toks: jax.Array,    # (SUBS_PER_CHUNK, C, TOKENS_PAD) int32
+                  starts: jax.Array):  # same shape, start offsets in-sub-span
     """Expand per-sub-lane token streams into 4 KiB chunk rows.
 
-    starts are per-token output offsets within the owning 1 KiB sub-lane
-    span (0..1023); padded/invalid tokens must carry start 2048.
+    starts are per-token output offsets within the owning SUB-byte sub-lane
+    span (0..SUB-1); padded/invalid slots must carry start 2048.
     Returns (C, 4096) uint8.
     """
     _, Cp, TP = toks.shape
     assert TP == TOKENS_PAD and Cp % CHUNK_BLOCK == 0
     grid = (Cp // CHUNK_BLOCK,)
+    spec = pl.BlockSpec((SUBS_PER_CHUNK, CHUNK_BLOCK, TOKENS_PAD),
+                        lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _resolve_kernel,
         grid=grid,
         out_shape=jax.ShapeDtypeStruct((Cp, 4096), jnp.uint8),
-        in_specs=[
-            pl.BlockSpec((4, CHUNK_BLOCK, TOKENS_PAD), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, CHUNK_BLOCK, TOKENS_PAD), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[spec, spec],
         out_specs=pl.BlockSpec((CHUNK_BLOCK, 4096), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((CHUNK_BLOCK, 4096), jnp.int32)],
-        compiler_params=None if _interpret() else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_params(),
         interpret=_interpret(),
     )(toks, starts)

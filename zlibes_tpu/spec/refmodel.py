@@ -334,8 +334,10 @@ class StreamIndex:
     # byte output boundary (encoder window resets) — every anchor chunk is
     # independently resolvable, enabling the Pallas lock-step inflate path
     turbo: bool = False  # stream carries the full turbo profile: shared
-    # stream-wide tables, code lengths ≤ 9 bits, anchors every 1 KiB,
+    # stream-wide tables, code lengths ≤ 9 bits, anchors every 512 B,
     # window reset every 4 KiB — decodable by the Pallas lock-step kernels
+    max_tokens: int = 0  # max tokens in any anchor span (encoder-recorded;
+    # sizes the decode kernel's token buffer / iteration bound)
 
     @property
     def total_out(self) -> int:
@@ -354,7 +356,7 @@ class StreamIndex:
         ]
         return StreamIndex(blocks, self.anchor_bit + bits, self.anchor_out,
                            self.anchor_block, self.self_contained,
-                           self.chunk_reset, self.turbo)
+                           self.chunk_reset, self.turbo, self.max_tokens)
 
     def save(self, path) -> None:
         """Persist the sidecar index (reload with StreamIndex.load)."""
@@ -367,7 +369,8 @@ class StreamIndex:
                  anchor_out=self.anchor_out, anchor_block=self.anchor_block,
                  self_contained=np.array([self.self_contained]),
                  chunk_reset=np.array([self.chunk_reset]),
-                 turbo=np.array([self.turbo]))
+                 turbo=np.array([self.turbo]),
+                 max_tokens=np.array([self.max_tokens]))
 
     @staticmethod
     def load(path) -> "StreamIndex":
@@ -380,7 +383,8 @@ class StreamIndex:
         return StreamIndex(blocks, z["anchor_bit"], z["anchor_out"],
                            z["anchor_block"], bool(z["self_contained"][0]),
                            int(z["chunk_reset"][0]) if "chunk_reset" in z else 0,
-                           bool(z["turbo"][0]) if "turbo" in z else False)
+                           bool(z["turbo"][0]) if "turbo" in z else False,
+                           int(z["max_tokens"][0]) if "max_tokens" in z else 0)
 
 
 def inflate_raw(data: bytes, byte_offset: int = 0,
