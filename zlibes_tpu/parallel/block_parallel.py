@@ -182,6 +182,24 @@ def sharded_inflate_step(
 # ---------------------------------------------------------------------------
 
 
+def _put(arr: np.ndarray, sharding) -> jax.Array:
+    """Create a (possibly multi-process) global array from host data.
+
+    Every process passes the same logical array; each contributes only its
+    addressable shards — works identically for a single-process mesh."""
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def _to_host(arr: jax.Array) -> np.ndarray:
+    """Fetch a (possibly multi-process) global array to every host."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
 def parallel_deflate(data: bytes, mesh: Mesh, block_size: int = 32768,
                      seg_size: int = 1024) -> bytes:
     """Block-parallel fixed-Huffman deflate across the mesh → zlib stream."""
@@ -203,11 +221,11 @@ def parallel_deflate(data: bytes, mesh: Mesh, block_size: int = 32768,
     W = (15 * N + 4096) // 32
     sharding = NamedSharding(mesh, P("blocks"))
     words, payload_end, lane_bit0, adler = sharded_deflate_step(
-        jax.device_put(blocks, sharding), jax.device_put(n_valid, sharding),
+        _put(blocks, sharding), _put(n_valid, sharding),
         jnp.int32(n), mesh=mesh, N=N, SEG_SIZE=seg_size, W=W,
     )
-    words_np = np.asarray(words)
-    pe = np.asarray(payload_end)
+    words_np = _to_host(words)
+    pe = _to_host(payload_end)
     from ..codec.deflate_pipeline import _encode_tables, _FIXED_LL_LEN, _FIXED_D_LEN, _or_bits
 
     ll_code, _ = _encode_tables(_FIXED_LL_LEN, _FIXED_D_LEN)
@@ -288,8 +306,9 @@ def parallel_inflate(data: bytes, index, mesh: Mesh) -> bytes:
             act[d * Ld + k] = True
             ob[d * Ld + k] = lane_out[s + k] - base
         max_tok = max(max_tok, int(lane_outlen[s:e].max()))
-    M = max(1, int(ll_lens.max()))
-    D_BITS = max(1, int(d_lens.max()))
+    # fixed table widths (the RFC cap) → one compiled program per (T, O)
+    # bucket for all streams, like the single-device path
+    M = D_BITS = C.MAX_CODELEN_BITS
     T = _bucket(max_tok + 16, lo=512)
     O = _bucket(int(span.max()), lo=4096)
 
@@ -298,17 +317,17 @@ def parallel_inflate(data: bytes, index, mesh: Mesh) -> bytes:
     d_tab = huffman.build_dist_tables(d_lens, D_BITS)
     out, err = sharded_inflate_step(
         stream.w32, stream.bytes,
-        jax.device_put(ll_tab, sh), jax.device_put(d_tab, sh),
-        jax.device_put(rows, sh), jax.device_put(bit0, sh),
-        jax.device_put(endb, sh), jax.device_put(act, sh),
-        jax.device_put(ob, sh), jax.device_put(span, sh),
+        _put(ll_tab, sh), _put(d_tab, sh),
+        _put(rows, sh), _put(bit0, sh),
+        _put(endb, sh), _put(act, sh),
+        _put(ob, sh), _put(span, sh),
         mesh=mesh, T=T, M=M, D_BITS=D_BITS, O=O,
     )
     from ..spec.errors import CorruptError
 
-    if np.asarray(err).any():
+    if _to_host(err).any():
         raise CorruptError("parallel inflate failed (corrupt or mis-indexed)")
-    out_np = np.asarray(out)
+    out_np = _to_host(out)
     total = index.total_out
     result = np.empty(total, np.uint8)
     for d, (s, e) in enumerate(zip(starts, ends)):
