@@ -1,0 +1,73 @@
+"""Scaling benchmark: block-parallel codec GB/s at 1/2/4/8 mesh devices.
+
+Runs on the virtual CPU mesh (absolute numbers are CPU-bound and
+meaningless vs TPU; the *shape* of the scaling curve is the artifact —
+near-linear device scaling of the sharded deflate/inflate steps).
+Emits one JSON line; paste the table into BASELINE.md.
+
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/bench_scaling.py
+"""
+import json
+import os
+import sys
+import time
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    from zlibes_tpu.parallel import make_mesh, parallel_deflate, parallel_inflate
+    from zlibes_tpu.spec import refmodel as rm
+
+    raw = (Path(__file__).resolve().parent.parent
+           / "tests" / "golden" / "raw.bin").read_bytes()
+    data = b"".join(raw[i * 60000:] + raw[: i * 60000] for i in range(4))
+    stream, index = rm.deflate(data, block_size=65536, with_index=True,
+                               anchor_every=4096)
+    results = {}
+    for nd in (1, 2, 4, 8):
+        mesh = make_mesh(nd)
+        # warm (compile)
+        parallel_deflate(data, mesh, block_size=65536)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            comp = parallel_deflate(data, mesh, block_size=65536)
+        t_def = (time.perf_counter() - t0) / 3
+        parallel_inflate(stream, index, mesh)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = parallel_inflate(stream, index, mesh)
+        t_inf = (time.perf_counter() - t0) / 3
+        assert out == data
+        import zlib
+
+        assert zlib.decompress(comp) == data
+        results[nd] = (len(data) / t_def / 1e9, len(data) / t_inf / 1e9)
+        print(f"devices={nd}: deflate {results[nd][0]:.4f} GB/s, "
+              f"inflate {results[nd][1]:.4f} GB/s", file=sys.stderr,
+              flush=True)
+    base_d, base_i = results[1]
+    print(json.dumps({
+        "metric": "virtual_mesh_scaling",
+        "unit": "GB/s (CPU mesh; shape matters, not magnitude)",
+        "deflate": {str(k): round(v[0], 4) for k, v in results.items()},
+        "inflate": {str(k): round(v[1], 4) for k, v in results.items()},
+        "deflate_speedup_8x": round(results[8][0] / base_d, 2),
+        "inflate_speedup_8x": round(results[8][1] / base_i, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

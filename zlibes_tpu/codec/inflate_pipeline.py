@@ -386,17 +386,29 @@ def run_group(stream: _Stream, p: _GroupPlan, check: bool = True,
     return dev_out
 
 
-def inflate_raw_indexed(data: bytes, index: StreamIndex) -> np.ndarray:
+def inflate_raw_indexed(data: bytes, index: StreamIndex,
+                        dictionary: bytes | None = None) -> np.ndarray:
     """Anchor-parallel inflate using a recorded stream layout.
 
     Requires self-contained blocks (no back-references across block
     boundaries) — guaranteed for streams produced by this framework and by
     the reference encoder (SURVEY.md §2 C13 note).  Violations surface as
     CorruptError (caller may fall back to the scan path).
+
+    ``dictionary`` (FDICT streams): the preset dictionary tail seeds the
+    resolve prefix of every group overlapping the first 32 KiB of output —
+    only the first block may reference it (RFC 1950 §2.2, and how our
+    encoder emits FDICT members).
     """
     stream = _Stream(data)
     out = np.empty(index.total_out, dtype=np.uint8)
     chained = not getattr(index, "self_contained", True)
+    dict_tail = None
+    if dictionary:
+        # fixed 32 KiB halo (zero left-pad) → one compiled resolve bucket
+        dict_tail = np.zeros(C.WINDOW_SIZE, np.uint8)
+        t = np.frombuffer(bytes(dictionary[-C.WINDOW_SIZE:]), np.uint8)
+        dict_tail[C.WINDOW_SIZE - t.size :] = t
 
     # stored blocks: straight host copies (byte-aligned payloads); in
     # chained mode they must land first so group prefixes can see them
@@ -411,6 +423,17 @@ def inflate_raw_indexed(data: bytes, index: StreamIndex) -> np.ndarray:
         if chained and p.d_base:
             P = min(C.WINDOW_SIZE, p.d_base)
             prefix = out[p.d_base - P : p.d_base]
+            if dict_tail is not None and P < C.WINDOW_SIZE:
+                need = min(C.WINDOW_SIZE - P, dict_tail.size)
+                prefix = np.concatenate([dict_tail[dict_tail.size - need:],
+                                         prefix])
+        elif dict_tail is not None and p.d_base < C.WINDOW_SIZE:
+            # first block(s) may reference the preset dictionary
+            if p.d_base:
+                prefix = np.concatenate([dict_tail, out[: p.d_base]]
+                                        )[-C.WINDOW_SIZE:]
+            else:
+                prefix = dict_tail
         else:
             prefix = None
         dev_out = run_group(stream, p, prefix=prefix)
@@ -511,15 +534,14 @@ def inflate(data: bytes, verify_checksum: bool = True, index=None,
     else:
         dictionary = None
     if index is not None:
-        if dictionary is not None:
-            raise HeaderError("indexed decode with dictionaries not supported"
-                              " yet; omit index=")
         if getattr(index, "turbo", False):
+            if dictionary is not None:
+                raise HeaderError("turbo streams never carry FDICT")
             from .turbo import inflate_raw_turbo
 
             out = inflate_raw_turbo(data, index)
         else:
-            out = inflate_raw_indexed(data, index)
+            out = inflate_raw_indexed(data, index, dictionary=dictionary)
         end_bit = index.blocks[-1].end_bit
     else:
         out, _blocks, end_bit = inflate_raw_scan(data, byte_offset=offset,

@@ -131,9 +131,11 @@ class TurboPlan:
                               np.arange(L, dtype=np.int64) * SUB):
             raise CorruptError(
                 f"turbo anchors must tile output every {SUB} B")
-        starts_w = (bit0_abs >> 5).astype(np.int32)
-        bit0_in = (bit0_abs - (starts_w.astype(np.int64) << 5)).astype(np.int32)
-        endb_in = (end_abs - (starts_w.astype(np.int64) << 5)).astype(np.int32)
+        # lanes start at a 128-word-aligned block (DMA extraction); the
+        # alignment residue lives in the in-row bit offsets
+        A = (bit0_abs >> 12).astype(np.int32)
+        bit0_in = (bit0_abs - (A.astype(np.int64) << 12)).astype(np.int32)
+        endb_in = (end_abs - (A.astype(np.int64) << 12)).astype(np.int32)
         if int(endb_in.max(initial=0)) > (tk.STREAM_WORDS - 4) * 32:
             raise CorruptError("anchor span exceeds the lane stream window")
 
@@ -147,13 +149,14 @@ class TurboPlan:
         p.T = tk.MAX_TOKENS if mt + 2 > 272 else 272
 
         raw = np.frombuffer(data, np.uint8)
-        npad = (-raw.size) % 4 + 4 * (tk.STREAM_WORDS + 2)
+        npad = (-raw.size) % 512 + 4 * (tk.STREAM_WORDS + 128)
         words = np.concatenate([raw, np.zeros(npad, np.uint8)]).view("<u4")
-        nw = _bucket(words.size, 4096)
-        p.words = jnp.asarray(np.pad(words, (0, nw - words.size))
-                              .astype(np.int64).astype(np.int32))
+        nb = _bucket(-(-words.size // 128), 32)
+        blocks = np.zeros((nb, 128), np.int32)
+        blocks.reshape(-1)[: words.size] = words.view(np.int32)
+        p.words = jnp.asarray(blocks)
         sw = np.zeros(p.L_pad, np.int32)
-        sw[:L] = starts_w
+        sw[:L] = A
         p.starts_w = jnp.asarray(sw)
         p.bit0 = jnp.asarray(_lane_grid(bit0_in, p.L_pad, lane_block))
         p.endb = jnp.asarray(_lane_grid(endb_in, p.L_pad, lane_block))

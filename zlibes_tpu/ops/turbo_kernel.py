@@ -56,9 +56,11 @@ SUB = 512
 SUBS_PER_CHUNK = 4096 // SUB
 # decode lanes per kernel invocation
 LANE_BLOCK = 1024
-# stream words per decode lane: worst case is ceil(SUB/3) 33-bit match
-# tokens = 5632 bits = 176 words, plus word alignment + buffer lookahead
-STREAM_WORDS = 256
+# stream words per decode lane: lanes start at a 128-word-aligned block
+# (DMA-friendly extraction), so a row holds up to 127 words of alignment
+# residue + the worst-case span of ceil(SUB/3) 33-bit match tokens
+# (5632 bits = 176 words) + buffer lookahead
+STREAM_WORDS = 384
 # max tokens per sub-chunk lane (SUB literals) + slack
 MAX_TOKENS = 528
 # token-array width in the resolve kernel (multiple of 128 >= MAX_TOKENS)
@@ -136,19 +138,51 @@ def turbo_decode_tables(ll_len: np.ndarray, d_len: np.ndarray):
 
 
 # ---------------------------------------------------------------------------
-# stage 1: per-lane stream extraction (pure XLA, dense dynamic slices)
+# stage 1: per-lane stream extraction
+#
+# XLA's vmap(dynamic_slice) lowers to a scalar gather (~3 ns/word — it was
+# 72% of the whole inflate), so extraction is a Pallas kernel instead: the
+# lane start indices are scalar-prefetched and drive the BlockSpec index
+# maps directly, turning the whole stage into pipelined 512-byte DMAs.
 
-@partial(jax.jit, static_argnames=("SW",))
-def extract_lanes(words: jax.Array, starts_w: jax.Array, SW: int = STREAM_WORDS):
-    """Slice each lane's stream row out of the global word array.
+def _extract_kernel(A_ref, *refs):
+    out_ref = refs[-1]
+    for j in range(8):
+        for m in range(3):
+            out_ref[j, m * 128 : (m + 1) * 128] = refs[j * 3 + m][0]
 
-    words: (Nw,) int32 little-endian u32 words of the compressed stream
-    starts_w: (L,) int32 per-lane first word index
-    Returns (L, SW) int32 rows.
+
+@jax.jit
+def extract_lanes(blocks128: jax.Array, A: jax.Array):
+    """Gather each lane's 3 aligned 128-word blocks into its stream row.
+
+    blocks128: (NB, 128) int32 — the padded stream as aligned word blocks
+    A: (L,) int32 — per-lane first block index (starts_w >> 7; the <=127
+       words of alignment residue are absorbed by the lane's bit0)
+    Returns (L, 384) int32 rows.
     """
-    def one(s):
-        return jax.lax.dynamic_slice(words, (s,), (SW,))
-    return jax.vmap(one)(starts_w)
+    L = A.shape[0]
+    assert L % 8 == 0
+    grid = (L // 8,)
+    in_specs = [
+        pl.BlockSpec((1, 128),
+                     (lambda i, A_ref, j=j, m=m: (A_ref[i * 8 + j] + m, 0)),
+                     memory_space=pltpu.VMEM)
+        for j in range(8) for m in range(3)
+    ]
+    return pl.pallas_call(
+        _extract_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((8, STREAM_WORDS), lambda i, A_ref: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((L, STREAM_WORDS), jnp.int32),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(A, *([blocks128] * 24))
 
 
 # ---------------------------------------------------------------------------
@@ -176,17 +210,26 @@ def _plane_select(planes, p):
     selects total (the per-lane stream refill has no gather-friendly
     layout on this hardware — dynamic_gather only runs along the minor
     axis of a shape-matched 2D operand)."""
-    SW = planes.shape[0]
-    cands = [planes[w] for w in range(SW)]
-    stride = 1
-    bit = 0
-    while stride < SW:
-        take_hi = (p & (1 << bit)) != 0
-        cands = [jnp.where(take_hi, hi, lo)
-                 for lo, hi in zip(cands[0::2], cands[1::2])]
-        stride <<= 1
-        bit += 1
-    return cands[0]
+    def pow2_tree(cands, p):
+        bit = 0
+        while len(cands) > 1:
+            take_hi = (p & (1 << bit)) != 0
+            cands = [jnp.where(take_hi, hi, lo)
+                     for lo, hi in zip(cands[0::2], cands[1::2])]
+            bit += 1
+        return cands[0]
+
+    def sel(lo, n, p):
+        if n == 1:
+            return planes[lo]
+        n2 = 1 << (n.bit_length() - 1)
+        if n2 == n:
+            return pow2_tree([planes[lo + w] for w in range(n)], p)
+        a = pow2_tree([planes[lo + w] for w in range(n2)], p)
+        b = sel(lo + n2, n - n2, p - n2)
+        return jnp.where(p < n2, a, b)
+
+    return sel(0, planes.shape[0], p)
 
 
 def _shl(x, s):
@@ -279,7 +322,7 @@ def _decode_kernel(lt_ref, dt_ref, planes_ref, bit0_ref, endb_ref,
         # --- refill: one word when there is space (stall-free: the turbo
         # encoder splits far long matches so no token exceeds 32 bits)
         need = nbits <= 64
-        w = _plane_select(planes, jnp.where(need, p, 0) & (SW - 1)
+        w = _plane_select(planes, jnp.minimum(jnp.where(need, p, 0), SW - 1)
                           ).astype(jnp.uint32)
         s = nbits.astype(jnp.uint32)  # insertion offset, 0..64 when needed
         s31 = s & 31

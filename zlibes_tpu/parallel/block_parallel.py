@@ -138,6 +138,83 @@ def sharded_deflate_step(
     )(blocks, n_valid)
 
 
+@partial(jax.jit, static_argnames=("mesh", "N", "SEG_SIZE", "S", "J"))
+def sharded_histogram_step(
+    blocks: jax.Array,   # uint8 (D*Bd, N+8) sharded over "blocks"
+    n_valid: jax.Array,  # int32 (D*Bd,)
+    n_total: jax.Array,  # int32 scalar: total input bytes
+    mesh: Mesh,
+    N: int, SEG_SIZE: int, S: int = 16, J: int = 16,
+):
+    """Phase 1 of dynamic-table sharded deflate: match-find + tokenize on
+    every device, then a real psum combines the global symbol histograms
+    (and the Adler-32 partials) across the mesh.
+
+    Returns (tv, td, cnt — sharded token streams kept on device for
+    phase 2; ll_tot (288,), d_tot (32,), adler — replicated).
+    """
+    DBd = blocks.shape[0]
+    D = mesh.devices.size
+    Bd = DBd // D
+    nseg = N // SEG_SIZE
+
+    def body(blocks, n_valid):
+        shard = jax.lax.axis_index("blocks")
+        matches = find_matches(blocks, n_valid, N=N, S=S, J=J)
+        tv, td, cnt = select_tokens(blocks, matches, n_valid, N=N,
+                                    SEG_SIZE=SEG_SIZE)
+        _ls, _ds, _v, llf, dfq = token_symbols(tv, td, cnt, nseg=nseg)
+        ll_tot = jax.lax.psum(jnp.sum(llf, axis=0), "blocks")
+        d_tot = jax.lax.psum(jnp.sum(dfq, axis=0), "blocks")
+        g_off = (shard * Bd + jnp.arange(Bd, dtype=jnp.int32)) * N
+        a_c, b_c, offs = _adler_shard_terms(blocks, n_valid, g_off)
+        w = jnp.where(a_c > 0, (n_total - offs) % _M, 0)
+        terms = (_mulmod(w, a_c) - b_c) % _M
+        s1 = (1 + jax.lax.psum(_modsum(a_c), "blocks")) % _M
+        s2 = (n_total % _M + jax.lax.psum(_modsum(terms), "blocks")) % _M
+        adler = (s2.astype(jnp.uint32) << 16) | s1.astype(jnp.uint32)
+        return tv, td, cnt, ll_tot, d_tot, adler
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P("blocks"), P("blocks")),
+        out_specs=(P("blocks"), P("blocks"), P("blocks"), P(), P(), P()),
+        check_vma=False,
+    )(blocks, n_valid)
+
+
+@partial(jax.jit, static_argnames=("mesh", "N", "SEG_SIZE", "W"))
+def sharded_pack_step(
+    tv: jax.Array, td: jax.Array, cnt: jax.Array,  # sharded token streams
+    ll_code: jax.Array, ll_len: jax.Array,          # replicated shared tables
+    d_code: jax.Array, d_len: jax.Array,
+    hdr_bits: jax.Array,  # int32 (D*Bd,) per-block header bit length
+    mesh: Mesh, N: int, SEG_SIZE: int, W: int,
+):
+    """Phase 2: bit-pack every device's token shard with the shared codes."""
+    DBd = cnt.shape[0] // (N // SEG_SIZE)
+    D = mesh.devices.size
+    Bd = DBd // D
+    nseg = N // SEG_SIZE
+
+    def body(tv, td, cnt, hdrb):
+        lsym, dsym, valid, _llf, _dfq = token_symbols(tv, td, cnt, nseg=nseg)
+        llc = jnp.broadcast_to(ll_code, (Bd, ll_code.size))
+        lll = jnp.broadcast_to(ll_len, (Bd, ll_len.size))
+        dc = jnp.broadcast_to(d_code, (Bd, d_code.size))
+        dl = jnp.broadcast_to(d_len, (Bd, d_len.size))
+        en = jnp.ones(Bd, bool)
+        return pack_payload(tv, td, lsym, dsym, valid, llc, lll, dc, dl,
+                            hdrb, en, nseg=nseg, W=W)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P("blocks"), P("blocks"), P("blocks"), P("blocks")),
+        out_specs=(P("blocks"), P("blocks"), P("blocks")),
+        check_vma=False,
+    )(tv, td, cnt, hdr_bits)
+
+
 @partial(jax.jit, static_argnames=("mesh", "T", "M", "D_BITS", "O"))
 def sharded_inflate_step(
     w32: jax.Array,        # uint32 (Nb,) replicated stream windows
@@ -201,8 +278,15 @@ def _to_host(arr: jax.Array) -> np.ndarray:
 
 
 def parallel_deflate(data: bytes, mesh: Mesh, block_size: int = 32768,
-                     seg_size: int = 1024) -> bytes:
-    """Block-parallel fixed-Huffman deflate across the mesh → zlib stream."""
+                     seg_size: int = 1024, dynamic: bool = True,
+                     max_code_bits: int = 15) -> bytes:
+    """Block-parallel deflate across the mesh → zlib stream.
+
+    ``dynamic=True`` (default): two sharded phases — a psum-combined
+    global histogram, then a shared length-limited table pair packs every
+    device's token shard (one host package-merge total, no per-block host
+    loop).  ``dynamic=False`` keeps the single-phase fixed-Huffman step.
+    """
     arr = np.frombuffer(bytes(data), dtype=np.uint8)
     n = arr.size
     D = mesh.devices.size
@@ -220,23 +304,58 @@ def parallel_deflate(data: bytes, mesh: Mesh, block_size: int = 32768,
         n_valid[i] = chunk.size
     W = (15 * N + 4096) // 32
     sharding = NamedSharding(mesh, P("blocks"))
-    words, payload_end, lane_bit0, adler = sharded_deflate_step(
-        _put(blocks, sharding), _put(n_valid, sharding),
-        jnp.int32(n), mesh=mesh, N=N, SEG_SIZE=seg_size, W=W,
-    )
+    from ..codec.deflate_pipeline import (
+        _FIXED_D_LEN, _FIXED_LL_LEN, _dynamic_header, _encode_tables,
+        _or_bits, package_merge_np)
+
+    if dynamic:
+        tv, td, cnt, ll_tot, d_tot, adler = sharded_histogram_step(
+            _put(blocks, sharding), _put(n_valid, sharding), jnp.int32(n),
+            mesh=mesh, N=N, SEG_SIZE=seg_size,
+        )
+        llf = np.asarray(ll_tot).astype(np.int64)
+        llf[C.END_OF_BLOCK] += nblocks
+        ll_len = package_merge_np(llf, max_code_bits)
+        d_len = package_merge_np(np.asarray(d_tot).astype(np.int64),
+                                 max_code_bits)
+        if d_len.max(initial=0) == 0:
+            d_len[0] = 1
+        hdr0, hb0 = _dynamic_header(ll_len, d_len, 0)
+        hdr1, hb1 = _dynamic_header(ll_len, d_len, 1)
+        ll_code, d_code = _encode_tables(ll_len, d_len)
+        hdr_bits = np.full(DBd, hb0, np.int32)
+        hdr_bits[nblocks - 1] = hb1
+        words, payload_end, _lane_bit0 = sharded_pack_step(
+            tv, td, cnt,
+            jnp.asarray(ll_code), jnp.asarray(ll_len.astype(np.int32)),
+            jnp.asarray(d_code), jnp.asarray(d_len.astype(np.int32)),
+            _put(hdr_bits, sharding), mesh=mesh, N=N, SEG_SIZE=seg_size, W=W,
+        )
+        headers = {0: (hdr0, hb0), 1: (hdr1, hb1)}
+    else:
+        words, payload_end, _lane_bit0, adler = sharded_deflate_step(
+            _put(blocks, sharding), _put(n_valid, sharding),
+            jnp.int32(n), mesh=mesh, N=N, SEG_SIZE=seg_size, W=W,
+        )
+        ll_code, _ = _encode_tables(_FIXED_LL_LEN, _FIXED_D_LEN)
+        ll_len = _FIXED_LL_LEN
     words_np = _to_host(words)
     pe = _to_host(payload_end)
-    from ..codec.deflate_pipeline import _encode_tables, _FIXED_LL_LEN, _FIXED_D_LEN, _or_bits
 
-    ll_code, _ = _encode_tables(_FIXED_LL_LEN, _FIXED_D_LEN)
-    eob_code, eob_len = int(ll_code[C.END_OF_BLOCK]), int(_FIXED_LL_LEN[C.END_OF_BLOCK])
+    eob_code = int(ll_code[C.END_OF_BLOCK])
+    eob_len = int(ll_len[C.END_OF_BLOCK])
     parts = []
     for i in range(nblocks):
         bfinal = 1 if i == nblocks - 1 else 0
         end_bits = int(pe[i])
         nbytes = (end_bits + eob_len + 3 + 7) // 8
         buf = words_np[i].view(np.uint8)[: nbytes + 4].copy()
-        buf[0] |= bfinal | (C.BTYPE_FIXED << 1)
+        if dynamic:
+            hdr, _hb = headers[bfinal]
+            hb_arr = np.frombuffer(hdr, dtype=np.uint8)
+            buf[: hb_arr.size] |= hb_arr
+        else:
+            buf[0] |= bfinal | (C.BTYPE_FIXED << 1)
         _or_bits(buf, end_bits, eob_code, eob_len)
         if bfinal:
             parts.append(buf[: (end_bits + eob_len + 7) // 8].tobytes())
