@@ -149,7 +149,7 @@ def _extract_kernel(A_ref, *refs):
     out_ref = refs[-1]
     for j in range(8):
         for m in range(3):
-            out_ref[j, m * 128 : (m + 1) * 128] = refs[j * 3 + m][0]
+            out_ref[j, m * 128 : (m + 1) * 128] = refs[j * 3 + m][0, 0]
 
 
 @jax.jit
@@ -164,9 +164,11 @@ def extract_lanes(blocks128: jax.Array, A: jax.Array):
     L = A.shape[0]
     assert L % 8 == 0
     grid = (L // 8,)
+    blocks3d = blocks128.reshape(blocks128.shape[0], 1, 128)
     in_specs = [
-        pl.BlockSpec((1, 128),
-                     (lambda i, A_ref, j=j, m=m: (A_ref[i * 8 + j] + m, 0)),
+        pl.BlockSpec((1, 1, 128),
+                     (lambda i, A_ref, j=j, m=m:
+                      (A_ref[i * 8 + j] + m, 0, 0)),
                      memory_space=pltpu.VMEM)
         for j in range(8) for m in range(3)
     ]
@@ -182,7 +184,7 @@ def extract_lanes(blocks128: jax.Array, A: jax.Array):
         out_shape=jax.ShapeDtypeStruct((L, STREAM_WORDS), jnp.int32),
         compiler_params=_params(),
         interpret=_interpret(),
-    )(A, *([blocks128] * 24))
+    )(A, *([blocks3d] * 24))
 
 
 # ---------------------------------------------------------------------------
