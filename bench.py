@@ -94,9 +94,10 @@ def main() -> None:
     stack = jnp.asarray(np.stack([words_np] * K))  # distinct buffer
 
     @jax.jit
-    def run_inflate(stack, starts_w, bit0, endb, lt, dt):
+    def run_inflate(stack, starts_w, shift_idx, bit0, endb, lt, dt):
         def body(c, words):
-            lanes = tk.extract_lanes(words, starts_w)
+            fetched = tk.extract_lanes(words, starts_w)
+            lanes = tk.shift_lanes(fetched, shift_idx, LB=plan.LB)
             planes = tb._to_planes(lanes, LB=plan.LB)
             tg, mg = tk.decode_turbo(planes, bit0, endb, lt, dt, T=plan.T,
                                      LB=plan.LB)
@@ -111,7 +112,8 @@ def main() -> None:
         c, _ = jax.lax.scan(body, jnp.int32(0), stack)
         return c
 
-    args = (stack, plan.starts_w, plan.bit0, plan.endb, plan.lt, plan.dt)
+    args = (stack, plan.starts_w, plan.shift_idx, plan.bit0, plan.endb,
+            plan.lt, plan.dt)
     t0 = time.perf_counter()
     _sync(run_inflate(*args))
     _log(f"inflate compile+first: {time.perf_counter()-t0:.0f}s")
@@ -151,8 +153,10 @@ def main() -> None:
                       ).astype(np.int64)
     llf[CC.END_OF_BLOCK] += 1
     ll_len = package_merge_np(llf, 9)
-    d_len = package_merge_np(np.ones(30, np.int64), 9)
+    d_len = np.pad(package_merge_np(np.ones(30, np.int64), 9), (0, 2))
     ll_code, d_code = _encode_tables(ll_len, d_len)
+    d_code = np.pad(d_code, (0, max(0, 32 - d_code.size)))
+    d_len = np.pad(d_len, (0, max(0, 32 - d_len.size)))
     W = (15 * N + 4096) // 32
     tabs = (jnp.asarray(np.broadcast_to(ll_code, (Bp, 288))),
             jnp.asarray(np.broadcast_to(ll_len, (Bp, 288))),

@@ -169,11 +169,14 @@ def inflate_raw_scan(data: bytes, byte_offset: int = 0,
 
     dict_tail = bytes(dictionary[-C.WINDOW_SIZE:]) if dictionary else None
     if native.available():
+        # the structure pass is inherently bit-serial (rapidgzip-style) and
+        # runs in C++; LZ resolution + output materialization run on device
         toks_val, toks_dist, index, end_bit, out_len = native.scan(
             data, bit_offset=byte_offset * 8,
             dict_len=len(dict_tail) if dict_tail else 0)
-        out = native.resolve(toks_val, toks_dist, out_len,
-                             dictionary=dict_tail)
+        out = _resolve_tokens_np(toks_val.astype(np.int32),
+                                 toks_dist.astype(np.int32),
+                                 dictionary=dict_tail)
         return out, index.blocks, end_bit
 
     stream = _Stream(data)

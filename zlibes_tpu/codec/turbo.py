@@ -106,8 +106,9 @@ def _from_grid(x: jax.Array, LB: int):
 class TurboPlan:
     """Host-prepared device arrays for one turbo stream (reusable)."""
 
-    __slots__ = ("words", "starts_w", "bit0", "endb", "lt", "dt", "L", "L_pad",
-                 "C_pad", "T", "LB", "total_out", "lane_end_check")
+    __slots__ = ("words", "starts_w", "shift_idx", "bit0", "endb", "lt", "dt",
+                 "L", "L_pad", "C_pad", "T", "LB", "total_out",
+                 "lane_end_check")
 
     @staticmethod
     def build(data: bytes, index: StreamIndex,
@@ -132,10 +133,12 @@ class TurboPlan:
             raise CorruptError(
                 f"turbo anchors must tile output every {SUB} B")
         # lanes start at a 128-word-aligned block (DMA extraction); the
-        # alignment residue lives in the in-row bit offsets
+        # word-granular residue is dropped by shift_lanes, the sub-word
+        # bits live in bit0
         A = (bit0_abs >> 12).astype(np.int32)
-        bit0_in = (bit0_abs - (A.astype(np.int64) << 12)).astype(np.int32)
-        endb_in = (end_abs - (A.astype(np.int64) << 12)).astype(np.int32)
+        resid = ((bit0_abs >> 5) & 127).astype(np.int32)
+        bit0_in = (bit0_abs & 31).astype(np.int32)
+        endb_in = (end_abs - ((bit0_abs >> 5) << 5)).astype(np.int32)
         if int(endb_in.max(initial=0)) > (tk.STREAM_WORDS - 4) * 32:
             raise CorruptError("anchor span exceeds the lane stream window")
 
@@ -158,6 +161,10 @@ class TurboPlan:
         sw = np.zeros(p.L_pad, np.int32)
         sw[:L] = A
         p.starts_w = jnp.asarray(sw)
+        rs = np.zeros(p.L_pad, np.int32)
+        rs[:L] = resid
+        p.shift_idx = jnp.asarray(rs[:, None]
+                                  + np.arange(128, dtype=np.int32)[None, :])
         p.bit0 = jnp.asarray(_lane_grid(bit0_in, p.L_pad, lane_block))
         p.endb = jnp.asarray(_lane_grid(endb_in, p.L_pad, lane_block))
         p.lane_end_check = endb_in
@@ -179,7 +186,8 @@ def run_turbo(plan: TurboPlan, check: bool = True):
     """Execute the three device stages; returns the (C_pad, 4096) uint8
     chunk rows (device-resident) — output bytes are rows flattened and cut
     at plan.total_out."""
-    lanes = tk.extract_lanes(plan.words, plan.starts_w)
+    fetched = tk.extract_lanes(plan.words, plan.starts_w)
+    lanes = tk.shift_lanes(fetched, plan.shift_idx, LB=plan.LB)
     planes = _to_planes(lanes, LB=plan.LB)
     tokens_g, meta_g = tk.decode_turbo(planes, plan.bit0, plan.endb,
                                        plan.lt, plan.dt, T=plan.T,

@@ -56,11 +56,13 @@ SUB = 512
 SUBS_PER_CHUNK = 4096 // SUB
 # decode lanes per kernel invocation
 LANE_BLOCK = 1024
-# stream words per decode lane: lanes start at a 128-word-aligned block
-# (DMA-friendly extraction), so a row holds up to 127 words of alignment
-# residue + the worst-case span of ceil(SUB/3) 33-bit match tokens
-# (5632 bits = 176 words) + buffer lookahead
-STREAM_WORDS = 384
+# stream words per decode lane: the worst-case span of ceil(SUB/3) 33-bit
+# match tokens (5632 bits = 176 words) + sub-word bit offset + buffer
+# lookahead.  Extraction DMAs three 128-word-aligned blocks per lane and a
+# fused shift pass drops the (<=127-word) alignment residue.
+STREAM_WORDS = 256
+# words per lane fetched by the DMA extraction pass (pre-shift)
+FETCH_WORDS = 384
 # max tokens per sub-chunk lane (SUB literals) + slack
 MAX_TOKENS = 528
 # token-array width in the resolve kernel (multiple of 128 >= MAX_TOKENS)
@@ -154,12 +156,12 @@ def _extract_kernel(A_ref, *refs):
 
 @jax.jit
 def extract_lanes(blocks128: jax.Array, A: jax.Array):
-    """Gather each lane's 3 aligned 128-word blocks into its stream row.
+    """Gather each lane's 3 aligned 128-word blocks into its fetch row.
 
     blocks128: (NB, 128) int32 — the padded stream as aligned word blocks
-    A: (L,) int32 — per-lane first block index (starts_w >> 7; the <=127
-       words of alignment residue are absorbed by the lane's bit0)
-    Returns (L, 384) int32 rows.
+    A: (L,) int32 — per-lane first block index (starts_w >> 7)
+    Returns (L, FETCH_WORDS) int32 rows (alignment residue still present;
+    shift_lanes removes it).
     """
     L = A.shape[0]
     assert L % 8 == 0
@@ -178,13 +180,58 @@ def extract_lanes(blocks128: jax.Array, A: jax.Array):
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((8, STREAM_WORDS), lambda i, A_ref: (i, 0),
+            out_specs=pl.BlockSpec((8, FETCH_WORDS), lambda i, A_ref: (i, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((L, STREAM_WORDS), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((L, FETCH_WORDS), jnp.int32),
         compiler_params=_params(),
         interpret=_interpret(),
     )(A, *([blocks3d] * 24))
+
+
+def _shift_kernel(rows_ref, idx_ref, out_ref):
+    rows = rows_ref[:]
+    idx0 = idx_ref[:]                     # (LB, 128): residue + iota
+    nb_in = FETCH_WORDS // 128
+    for b in range(STREAM_WORDS // 128):
+        idx = idx0 + b * 128              # in [0, FETCH_WORDS)
+        lob = idx & 127
+        hib = idx >> 7
+        out = jnp.zeros_like(idx)
+        for m in range(nb_in):
+            g = jnp.take_along_axis(rows[:, m * 128 : (m + 1) * 128],
+                                    lob, axis=1)
+            out = jnp.where(hib == m, g, out)
+        out_ref[:, b * 128 : (b + 1) * 128] = out
+
+
+@partial(jax.jit, static_argnames=("LB",))
+def shift_lanes(rows: jax.Array,    # (L, FETCH_WORDS) int32
+                idx0: jax.Array,    # (L, 128) int32: per-lane residue + iota
+                LB: int = LANE_BLOCK):
+    """Drop each lane's alignment residue: out[l, w] = rows[l, r_l + w].
+
+    idx0[l, j] = r_l + j (precomputed densely in XLA), so each output bank
+    is three bank gathers + selects — a few microseconds for all lanes.
+    """
+    L = rows.shape[0]
+    assert L % LB == 0
+    grid = (L // LB,)
+    return pl.pallas_call(
+        _shift_kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((L, STREAM_WORDS), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((LB, FETCH_WORDS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LB, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((LB, STREAM_WORDS), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(rows, idx0)
 
 
 # ---------------------------------------------------------------------------
