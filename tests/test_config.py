@@ -39,3 +39,36 @@ def test_custom_config_seg_size():
     cfg = CodecConfig(seg_size=1024)
     out = zlibes_tpu.deflate(RAW[:65536], config=cfg, block_size=32768)
     assert pyzlib.decompress(out) == RAW[:65536]
+
+
+def test_device_package_merge_matches_host():
+    """SURVEY §2 C7: on-device length-limited table builder (histogram ->
+    sort -> prefix membership counts) matches the host package-merge."""
+    import numpy as np
+
+    from zlibes_tpu.codec.deflate_pipeline import package_merge_np
+    from zlibes_tpu.ops.entropy import package_merge_device
+
+    rng = np.random.default_rng(0)
+    cases = [
+        np.zeros(19, np.int64),
+        np.eye(19, dtype=np.int64)[3] * 7,
+        np.array([5, 5, 5, 5], np.int64),
+        rng.integers(0, 1000, 288).astype(np.int64),
+        np.minimum(rng.zipf(1.3, 288), (1 << 29) // (4 * 288)).astype(np.int64),
+        np.array([1, 1, 1, 1000000], np.int64),
+    ]
+    for max_len in (7, 9, 15):
+        for f in cases:
+            if int((f > 0).sum()) > (1 << max_len):
+                continue  # infeasible: no prefix code exists (never
+                # requested by the codec: 7-bit caps only serve the
+                # 19-symbol code-length alphabet)
+            host = package_merge_np(f, max_len)
+            dev = np.asarray(package_merge_device(f, max_len))
+            # identical Kraft-optimal length multisets => identical coded
+            # size; canonical assignment then yields identical tables
+            assert ((f > 0) == (dev > 0)).all()
+            assert int((host * f).sum()) == int((dev * f).sum()), (
+                max_len, host[f > 0], dev[f > 0])
+            assert dev.max(initial=0) <= max_len

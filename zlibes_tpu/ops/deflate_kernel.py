@@ -17,15 +17,8 @@ import numpy as np
 
 from ..spec import constants as C
 
-# device-resident value→symbol tables
-_LEN_SYM = jnp.asarray(C.LENGTH_TO_SYMBOL)          # (259,)
-_LEN_EXTRA_VAL = jnp.asarray(C.LENGTH_TO_EXTRA)     # (259,)
-_LEN_EXTRA_N = jnp.asarray(
-    np.concatenate([np.zeros(257, np.int32), C.LENGTH_EXTRA_BITS])
-)  # indexed by litlen symbol
-_DIST_SYM = jnp.asarray(C.DIST_TO_SYMBOL)           # (32769,)
-_DIST_EXTRA_VAL = jnp.asarray(C.DIST_TO_EXTRA)
-_DIST_EXTRA_N = jnp.asarray(C.DIST_EXTRA_BITS)      # (30,)
+# value→symbol/base/extra mappings are arithmetic (ops/symbol_math.py);
+# no device-resident lookup tables remain on the encode path
 
 
 @partial(jax.jit, static_argnames=("nseg",))
@@ -38,18 +31,21 @@ def token_symbols(
     """Map tokens to litlen/dist symbols and build per-block histograms.
 
     Returns (lsym, dsym, valid, ll_freq (B,288), d_freq (B,32)); dsym is -1
-    for literals.
+    for literals.  Symbol mapping is arithmetic (ops/symbol_math.py) — the
+    value-indexed table gathers it replaces cost ~10 ns/token on TPU.
     """
+    from .symbol_math import dist_symbol, len_symbol
+
     L, T = toks_val.shape
     B = L // nseg
     tidx = jax.lax.broadcasted_iota(jnp.int32, (L, T), 1)
     valid = tidx < count[:, None]
     is_match = valid & (toks_dist > 0)
     vs = jnp.clip(toks_val, 0, C.MAX_MATCH)
-    lsym = jnp.where(is_match, _LEN_SYM[vs], toks_val)
+    lsym = jnp.where(is_match, len_symbol(vs), toks_val)
     lsym = jnp.where(valid, lsym, 0)
     ds = jnp.clip(toks_dist, 0, C.WINDOW_SIZE)
-    dsym = jnp.where(is_match, _DIST_SYM[ds], -1)
+    dsym = jnp.where(is_match, dist_symbol(ds), -1)
 
     blk = jax.lax.broadcasted_iota(jnp.int32, (L, T), 0) // nseg
     llidx = jnp.where(valid, blk * C.NUM_LITLEN_SYMBOLS + lsym,
@@ -88,6 +84,8 @@ def pack_payload(
     included — the host appends it); lane_bit0 = bit offset of each segment
     lane's first token (the decode anchors).
     """
+    from .symbol_math import dist_extra, len_extra, onehot_rows
+
     L, T = toks_val.shape
     B = L // nseg
     blk2 = jax.lax.broadcasted_iota(jnp.int32, (L, T), 0) // nseg
@@ -95,16 +93,38 @@ def pack_payload(
 
     vs = jnp.clip(toks_val, 0, C.MAX_MATCH)
     ds = jnp.clip(toks_dist, 0, C.WINDOW_SIZE)
-    lflat = blk2 * C.NUM_LITLEN_SYMBOLS + jnp.clip(lsym, 0, 287)
-    f1v = ll_code.reshape(-1)[lflat]
-    f1n = jnp.where(valid, ll_len.reshape(-1)[lflat], 0)
-    f2v = jnp.where(is_match, _LEN_EXTRA_VAL[vs], 0).astype(jnp.uint32)
-    f2n = jnp.where(is_match, _LEN_EXTRA_N[jnp.clip(lsym, 0, 287)], 0)
-    dflat = blk2 * C.NUM_DIST_SYMBOLS + jnp.clip(dsym, 0, 31)
-    f3v = jnp.where(is_match, d_code.reshape(-1)[dflat], 0)
-    f3n = jnp.where(is_match, d_len.reshape(-1)[dflat], 0)
-    f4v = jnp.where(is_match, _DIST_EXTRA_VAL[ds], 0).astype(jnp.uint32)
-    f4n = jnp.where(is_match, _DIST_EXTRA_N[jnp.clip(dsym, 0, 29)], 0)
+
+    # per-block code/length lookups as batched one-hot matmuls (bf16 one-
+    # hot is exact for 0/1; table values split into <=255 lo/hi columns so
+    # every MXU pass is exact) — replaces 4 value-gathers per token
+    def table_lookup(sym, codes, lens, S):
+        oh = onehot_rows(jnp.clip(sym, 0, S - 1).reshape(B, nseg * T),
+                         S, jnp.bfloat16)
+        tab = jnp.stack([
+            (codes & 0xFF).astype(jnp.bfloat16),
+            (codes >> 8).astype(jnp.bfloat16),
+            lens.astype(jnp.bfloat16),
+        ], axis=2)  # (B, S, 3)
+        r = jax.lax.dot_general(
+            oh, tab, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (B, nseg*T, 3)
+        r = r.reshape(L, T, 3)
+        code = (r[..., 0].astype(jnp.uint32)
+                | (r[..., 1].astype(jnp.uint32) << 8))
+        return code, r[..., 2].astype(jnp.int32)
+
+    f1v, f1n = table_lookup(lsym, ll_code, ll_len, C.NUM_LITLEN_SYMBOLS)
+    f1n = jnp.where(valid, f1n, 0)
+    f3v, f3n = table_lookup(jnp.where(is_match, dsym, 0), d_code, d_len,
+                            C.NUM_DIST_SYMBOLS)
+    f3v = jnp.where(is_match, f3v, 0)
+    f3n = jnp.where(is_match, f3n, 0)
+    le_n, le_v = len_extra(vs)
+    f2v = jnp.where(is_match, le_v, 0).astype(jnp.uint32)
+    f2n = jnp.where(is_match, le_n, 0)
+    de_n, de_v = dist_extra(ds)
+    f4v = jnp.where(is_match, de_v, 0).astype(jnp.uint32)
+    f4n = jnp.where(is_match, de_n, 0)
 
     tb = f1n + f2n + f3n + f4n  # total bits per token
 
@@ -123,28 +143,40 @@ def pack_payload(
     words = jnp.zeros(B * W, jnp.uint32)
     en = enabled[blk2] & valid
 
-    def scatter_field(words, v, n, off):
+    # combine the four fields into one <=48-bit (lo64, hi64) pair per
+    # token, then scatter at most three words — scatter-adds cost ~10 ns
+    # per index, so 3 beats the naive 8 by ~2.7x
+    def _shr32m(x, s):
+        return (x >> (jnp.uint32(31) - s)) >> 1  # x >> (32-s); 0 at s == 0
+
+    def append_field(lo, hi, nb, v, n):
         v = v.astype(jnp.uint32) & ((jnp.uint32(1) << jnp.uint32(
             jnp.clip(n, 0, 31))) - 1)
-        w = blk2 * W + (off >> 5)
-        sh = (off & 31).astype(jnp.uint32)
-        use = en & (n > 0)
-        widx = jnp.where(use, w, B * W).reshape(-1)
-        lo = (v << sh).reshape(-1)
-        words = words.at[widx].add(lo, mode="drop")
-        hi = jnp.where(sh == 0, jnp.uint32(0), v >> (jnp.uint32(32) - sh))
-        widx2 = jnp.where(use & (hi > 0), w + 1, B * W).reshape(-1)
-        words = words.at[widx2].add(hi.reshape(-1), mode="drop")
-        return words
+        nbu = (nb & 31).astype(jnp.uint32)
+        below = nb < 32
+        lo = lo | jnp.where(below, v << nbu, 0)
+        hi = hi | jnp.where(below, _shr32m(v, nbu), v << nbu)
+        return lo, hi, nb + n
 
-    o = tok_off
-    words = scatter_field(words, f1v, f1n, o)
-    o = o + f1n
-    words = scatter_field(words, f2v, f2n, o)
-    o = o + f2n
-    words = scatter_field(words, f3v, f3n, o)
-    o = o + f3n
-    words = scatter_field(words, f4v, f4n, o)
+    zero = jnp.zeros_like(f1v)
+    lo64, hi64, nb = append_field(zero, zero, jnp.zeros_like(f1n), f1v, f1n)
+    lo64, hi64, nb = append_field(lo64, hi64, nb, f2v, f2n)
+    lo64, hi64, nb = append_field(lo64, hi64, nb, f3v, f3n)
+    lo64, hi64, nb = append_field(lo64, hi64, nb, f4v, f4n)
+
+    w = blk2 * W + (tok_off >> 5)
+    sh = (tok_off & 31).astype(jnp.uint32)
+    w0v = lo64 << sh
+    w1v = _shr32m(lo64, sh) | (hi64 << sh)
+    w2v = _shr32m(hi64, sh)
+    use = en & (tb > 0)
+    OOB = B * W
+    words = words.at[jnp.where(use, w, OOB).reshape(-1)].add(
+        w0v.reshape(-1), mode="drop")
+    words = words.at[jnp.where(use & (w1v > 0), w + 1, OOB).reshape(-1)].add(
+        w1v.reshape(-1), mode="drop")
+    words = words.at[jnp.where(use & (w2v > 0), w + 2, OOB).reshape(-1)].add(
+        w2v.reshape(-1), mode="drop")
 
     return words.reshape(B, W), payload_end, lane_bit0
 

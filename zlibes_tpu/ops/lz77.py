@@ -83,14 +83,15 @@ def find_matches(
     valid_key = pos + 3 <= n_valid[:, None]
     key = jnp.where(valid_key, key, 0x1000000 + pos)
 
-    skey, spos = jax.lax.sort((key, pos), dimension=1, is_stable=True, num_keys=1)
-
-    # gather the S probe windows for every position, in sorted order,
-    # stacked on a leading axis (vectorized over S — keeps the compiled
-    # program O(1) in S instead of O(S) unrolled copies)
-    sidx = jnp.minimum(spos[None, :, :] + 4 * jnp.arange(S, dtype=jnp.int32)[:, None, None],
-                       N - 1)
-    probes = jnp.take_along_axis(jnp.broadcast_to(w32, (S, B, N)), sidx, axis=2)
+    # the S probe windows ride the sort as extra operands (a multi-operand
+    # sort costs ~1 ms per operand on v5e, vs ~15 ns per element for the
+    # take_along_axis gather it replaces — 40x on the whole matcher)
+    wp = jnp.pad(w32, ((0, 0), (0, 4 * S)))
+    sorted_ops = jax.lax.sort(
+        (key, pos) + tuple(wp[:, 4 * s : 4 * s + N] for s in range(S)),
+        dimension=1, is_stable=True, num_keys=1)
+    skey, spos = sorted_ops[0], sorted_ops[1]
+    probes = jnp.stack(sorted_ops[2:])
 
     limit = jnp.minimum(n_valid[:, None] - spos, C.MAX_MATCH)
 
@@ -132,12 +133,8 @@ def find_matches(
     )
 
     packed_sorted = (best_ml << 16) | best_dist
-    # scatter back to position order
-    packed = jnp.zeros((B, N), jnp.int32)
-    brow = jax.lax.broadcasted_iota(jnp.int32, (B, N), 0)
-    packed = packed.at[brow.reshape(-1), spos.reshape(-1)].set(
-        packed_sorted.reshape(-1)
-    )
+    # un-permute to position order with a second sort (scatter-free)
+    _, packed = jax.lax.sort((spos, packed_sorted), dimension=1, num_keys=1)
 
     # dist-1 runs (covers long RLE matches beyond the probe cap):
     # clen[p] = length of the constant-byte run starting at p
