@@ -102,3 +102,31 @@ def test_turbo_rejects_non_turbo_index():
     assert not index.turbo
     with pytest.raises(CorruptError):
         inflate_raw_turbo(comp, index)
+
+
+def test_select_kernel_matches_xla_path():
+    """The Pallas selection kernel must produce byte-identical streams to
+    the XLA select_tokens path (exact-greedy semantics preserved)."""
+    import jax.numpy as jnp
+
+    from zlibes_tpu.codec.deflate_pipeline import _select_turbo_glue
+    from zlibes_tpu.ops.lz77 import find_matches, select_tokens
+
+    rng = np.random.default_rng(11)
+    data = _mixed_data(3 * BS, seed=11)
+    B, N = 2, BS
+    blk = np.zeros((B, N + 8), np.uint8)
+    nv = np.zeros(B, np.int32)
+    arr = np.frombuffer(data, np.uint8)
+    for i in range(B):
+        c = arr[i * N : (i + 1) * N]
+        blk[i, : c.size] = c
+        nv[i] = c.size
+    m = find_matches(jnp.asarray(blk), jnp.asarray(nv), N=N, S=4, J=4,
+                     reset=4096)
+    a = select_tokens(jnp.asarray(blk), m, jnp.asarray(nv), N=N,
+                      SEG_SIZE=512, lazy=True, split_far=True)
+    b = _select_turbo_glue(jnp.asarray(blk), m, jnp.asarray(nv), N=N,
+                           SEG_SIZE=512, lazy=True, split_far=True)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))

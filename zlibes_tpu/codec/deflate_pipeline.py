@@ -23,6 +23,9 @@ dead code, src/deflate.ts:41-54), correct tiny-input handling.
 """
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -177,6 +180,49 @@ class _BlockPlan:
                  "d_code", "d_len", "eob_code", "eob_len", "bfinal")
 
 
+@partial(jax.jit, static_argnames=("N", "SEG_SIZE", "lazy", "split_far"))
+def _select_turbo_glue(dev_bytes, matches, n_valid, N, SEG_SIZE, lazy,
+                       split_far):
+    """Pack positions into word-planes, run the Pallas selection kernel,
+    unpack to the (tv, td, cnt) contract of ops.lz77.select_tokens."""
+    import jax
+
+    from ..ops import turbo_kernel as tk
+
+    B = matches.shape[0]
+    nseg = N // SEG_SIZE
+    L = B * nseg
+    LB = min(tk.LANE_BLOCK, L)
+    ml = (matches >> 16) & 0x1FF
+    dist = matches & 0xFFF
+    lit = dev_bytes[:, :N].astype(jnp.int32)
+    pv = dist | (ml << tk.SEL_LEN_SHIFT) | (lit << tk.SEL_LIT_SHIFT)
+    rows = pv.reshape(L, SEG_SIZE)
+    planes = jnp.transpose(rows.reshape(L // LB, 8, LB // 8, SEG_SIZE),
+                           (3, 1, 0, 2)).reshape(SEG_SIZE, 8, L // 8)
+    seg0 = (jnp.arange(L, dtype=jnp.int32) % nseg) * SEG_SIZE
+    nv = jnp.repeat(n_valid, nseg)
+    slen = jnp.clip(nv - seg0, 0, SEG_SIZE)
+    slen_g = jnp.transpose(slen.reshape(L // LB, 8, LB // 8),
+                           (1, 0, 2)).reshape(8, L // 8)
+    toks_g, cnt_g = tk.select_turbo(planes, slen_g, lazy=lazy,
+                                    split_far=split_far, LB=LB)
+
+    def degrid(x):  # (..., 8, L//8) -> (..., L) lane-ordered
+        lead = x.shape[:-2]
+        y = x.reshape(*lead, 8, L // LB, LB // 8)
+        perm = tuple(range(len(lead))) + (len(lead) + 1, len(lead),
+                                          len(lead) + 2)
+        return jnp.transpose(y, perm).reshape(*lead, L)
+
+    toks = jnp.transpose(degrid(toks_g), (1, 0))  # (L, SEG)
+    cnt = degrid(cnt_g)[0]
+    is_m = (toks & tk.TOK_MATCH_BIT) != 0
+    tv = toks & tk.TOK_VAL_MASK
+    td = jnp.where(is_m, (toks >> tk.TOK_DIST_SHIFT) & tk.TOK_DIST_MASK, 0)
+    return tv, td, cnt
+
+
 def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
                    stats: CodecStats):
     """Shared-table encode (the turbo profile, and the de-Pythoned entropy
@@ -212,9 +258,15 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
                                    S=cfg.probe_words, J=cfg.candidates,
                                    reset=cfg.chunk_reset)
         with stats.timer("select"), trace("zlibes.select"):
-            tv, td, cnt = select_tokens(dev_bytes, matches, dev_nv, N=N,
-                                        SEG_SIZE=SEG_SIZE, lazy=cfg.lazy,
-                                        split_far=cfg.max_code_bits <= 9)
+            if SEG_SIZE == 512 and cfg.chunk_reset == 4096:
+                # turbo: Pallas lock-step selection (distances fit 12 bits)
+                tv, td, cnt = _select_turbo_glue(
+                    dev_bytes, matches, dev_nv, N=N, SEG_SIZE=SEG_SIZE,
+                    lazy=cfg.lazy, split_far=cfg.max_code_bits <= 9)
+            else:
+                tv, td, cnt = select_tokens(
+                    dev_bytes, matches, dev_nv, N=N, SEG_SIZE=SEG_SIZE,
+                    lazy=cfg.lazy, split_far=cfg.max_code_bits <= 9)
         return tv, td, cnt, n_valid
 
     # --- phase 1: global histograms

@@ -47,17 +47,21 @@ def token_symbols(
     ds = jnp.clip(toks_dist, 0, C.WINDOW_SIZE)
     dsym = jnp.where(is_match, dist_symbol(ds), -1)
 
-    blk = jax.lax.broadcasted_iota(jnp.int32, (L, T), 0) // nseg
-    llidx = jnp.where(valid, blk * C.NUM_LITLEN_SYMBOLS + lsym,
-                      B * C.NUM_LITLEN_SYMBOLS)
-    ll_freq = jnp.zeros(B * C.NUM_LITLEN_SYMBOLS, jnp.int32).at[
-        llidx.reshape(-1)
-    ].add(1, mode="drop").reshape(B, C.NUM_LITLEN_SYMBOLS)
-    didx = jnp.where(is_match, blk * C.NUM_DIST_SYMBOLS + dsym,
-                     B * C.NUM_DIST_SYMBOLS)
-    d_freq = jnp.zeros(B * C.NUM_DIST_SYMBOLS, jnp.int32).at[
-        didx.reshape(-1)
-    ].add(1, mode="drop").reshape(B, C.NUM_DIST_SYMBOLS)
+    # histograms as batched one-hot matmuls (scatter-adds cost ~10 ns per
+    # index; a bf16 one-hot summed on the MXU is exact and ~5x cheaper)
+    from .symbol_math import onehot_rows
+
+    def hist(sym, mask, S):
+        oh = onehot_rows(jnp.where(mask, sym, S).reshape(B, nseg * T),
+                         S, jnp.bfloat16)
+        ones = jnp.ones((B, 1, nseg * T), jnp.bfloat16)
+        h = jax.lax.dot_general(
+            ones, oh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        return h[:, 0, :].astype(jnp.int32)
+
+    ll_freq = hist(lsym, valid, C.NUM_LITLEN_SYMBOLS)
+    d_freq = hist(dsym, is_match, C.NUM_DIST_SYMBOLS)
     return lsym, dsym, valid, ll_freq, d_freq
 
 

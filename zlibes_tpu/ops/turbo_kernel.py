@@ -552,3 +552,102 @@ def resolve_turbo(toks: jax.Array,    # (SUBS_PER_CHUNK, C, TOKENS_PAD) int32
         compiler_params=_params(),
         interpret=_interpret(),
     )(toks, starts)
+
+
+# ---------------------------------------------------------------------------
+# encode-side: lock-step greedy/lazy token selection (turbo profile)
+#
+# The XLA select_tokens while_loop pays ~10 ns per per-lane gather per
+# iteration (3 gathers x thousands of lanes x 512 iterations); here each
+# lane's segment lives in word-planes and the cursor walk is pure vreg work.
+
+# packed per-position plane value: dist(12) | len(9 @12) | literal(8 @21)
+SEL_LEN_SHIFT = 12
+SEL_LIT_SHIFT = 21
+
+
+def _select_kernel(planes_ref, seglen_ref, tok_ref, meta_ref, *, lazy: bool,
+                   split_far: bool):
+    SEG = planes_ref.shape[0]
+    planes = planes_ref[:]
+    seg_end = seglen_ref[:]          # (8, G) valid positions in segment
+    G = seg_end.shape
+
+    def nxt_plane(w):
+        return planes[min(w + 1, SEG - 1)]
+
+    def cond(state):
+        t, _c, active_i, _cnt = state
+        return (t < SEG) & (jnp.max(active_i) > 0)
+
+    def body(state):
+        t, c, active_i, count = state
+        active = active_i > 0
+        cs = jnp.minimum(c, SEG - 1)
+        cur = _plane_select(planes, cs)
+        ml = (cur >> SEL_LEN_SHIFT) & 511
+        dist = cur & 0xFFF
+        lit = (cur >> SEL_LIT_SHIFT) & 0xFF
+        ml = jnp.minimum(ml, seg_end - c)
+        if split_far:
+            ml = jnp.where((ml >= 131) & (dist >= 2049), 130, ml)
+        use = ml >= 3
+        if lazy:
+            nxt = _plane_select(planes, jnp.minimum(cs + 1, SEG - 1))
+            ml1 = (nxt >> SEL_LEN_SHIFT) & 511
+            defer = (use & (ml < 258) & (ml1 > ml) & (c + 1 < seg_end))
+            use = use & ~defer
+        tok = jnp.where(use,
+                        ml | (dist << TOK_DIST_SHIFT) | TOK_MATCH_BIT, lit)
+        emit = active
+        tok = jnp.where(emit, tok, 0)
+        tok_ref[pl.ds(t, 1)] = tok[None]
+        count = count + emit.astype(jnp.int32)
+        adv = jnp.where(use, ml, 1)
+        c = jnp.where(active, c + adv, c)
+        active = active & (c < seg_end)
+        return (t + 1, c, active.astype(jnp.int32), count)
+
+    active0 = (seg_end > 0).astype(jnp.int32)
+    zero = jnp.zeros(G, jnp.int32)
+    state = (jnp.int32(0), zero, active0, zero)
+    _t, _c, _a, count = jax.lax.while_loop(cond, body, state)
+    meta_ref[0] = count
+
+
+@partial(jax.jit, static_argnames=("lazy", "split_far", "LB"))
+def select_turbo(planes: jax.Array,   # (SEG, 8, L//8) packed positions
+                 seg_len: jax.Array,  # (8, L//8) valid bytes per segment
+                 lazy: bool = True,
+                 split_far: bool = True,
+                 LB: int = LANE_BLOCK):
+    """Greedy(+lazy) tokenization, one position-or-match per iteration.
+
+    Returns (tokens (SEG, 8, L//8) int32 in the turbo token packing,
+    counts (1, 8, L//8) int32).  Turbo-profile only: distances must fit
+    12 bits (guaranteed by the 4 KiB window reset).
+    """
+    SEG, _, G = planes.shape
+    L = G * 8
+    assert L % LB == 0
+    GB = LB // 8
+    grid = (L // LB,)
+    return pl.pallas_call(
+        partial(_select_kernel, lazy=lazy, split_far=split_far),
+        grid=grid,
+        out_shape=(jax.ShapeDtypeStruct((SEG, 8, G), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 8, G), jnp.int32)),
+        in_specs=[
+            pl.BlockSpec((SEG, 8, GB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, GB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((SEG, 8, GB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, GB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(planes, seg_len)
