@@ -200,12 +200,16 @@ def main() -> None:
         pyzlib.decompress(comp)
         n_base += 1
     base_gbps = nbytes * n_base / (time.perf_counter() - t0) / 1e9
-    t0 = time.perf_counter()
-    n_base = 0
-    while time.perf_counter() - t0 < 2.0:
-        pyzlib.compress(data, 6)
-        n_base += 1
-    base_def_gbps = nbytes * n_base / (time.perf_counter() - t0) / 1e9
+    def _rate(fn):
+        t0 = time.perf_counter()
+        k = 0
+        while time.perf_counter() - t0 < 2.0:
+            fn()
+            k += 1
+        return nbytes * k / (time.perf_counter() - t0) / 1e9
+
+    base_def_gbps = _rate(lambda: pyzlib.compress(data, 6))
+    base_def1_gbps = _rate(lambda: pyzlib.compress(data, 1))
 
     print(json.dumps({
         "metric": "inflate_throughput_per_chip",
@@ -215,6 +219,7 @@ def main() -> None:
         "deflate_device_gbps": round(def_dev_gbps, 4),
         "deflate_wall_gbps": round(nbytes / t_def_wall / 1e9, 4),
         "deflate_vs_zlib6_single_core": round(def_dev_gbps / base_def_gbps, 2),
+        "deflate_vs_zlib1_single_core": round(def_dev_gbps / base_def1_gbps, 2),
         "compressed_ratio": round(ratio, 4),
         "cpython_zlib_inflate_gbps": round(base_gbps, 4),
         "rpc_floor_ms": round(rpc * 1e3, 1),

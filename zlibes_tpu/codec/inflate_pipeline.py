@@ -503,6 +503,12 @@ def inflate_to_device(data: bytes, index: StreamIndex):
             "inflate_to_device requires self-contained blocks (streams "
             "produced by this framework); use inflate() for foreign streams"
         )
+    if getattr(index, "turbo", False):
+        from .turbo import TurboPlan, run_turbo
+
+        plan = TurboPlan.build(data, index)
+        rows = run_turbo(plan, check=False)
+        return [(rows.reshape(-1), 0, plan.total_out)]
     stream = _Stream(data)
     outs = []
     for p in plan_groups(data, index):
