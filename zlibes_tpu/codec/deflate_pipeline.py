@@ -256,7 +256,8 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
         with stats.timer("match"), trace("zlibes.match"):
             matches = find_matches(dev_bytes, dev_nv, N=N,
                                    S=cfg.probe_words, J=cfg.candidates,
-                                   reset=cfg.chunk_reset)
+                                   reset=cfg.chunk_reset,
+                                   two_phase=cfg.max_code_bits <= 9)
         with stats.timer("select"), trace("zlibes.select"):
             if SEG_SIZE == 512 and cfg.chunk_reset == 4096:
                 # turbo: Pallas lock-step selection (distances fit 12 bits)
