@@ -31,7 +31,8 @@ import jax.numpy as jnp
 
 from ..ops import huffman, lz77
 from ..ops.adler32 import adler32_device
-from ..ops.deflate_kernel import gather_compressed, pack_payload, token_symbols
+from ..ops.deflate_kernel import (gather_compressed, pack_payload,
+                                  pack_payload_fast, token_symbols)
 from ..ops.lz77 import SEG, find_matches, select_tokens
 from ..spec import constants as C
 from ..spec.refmodel import BitWriter, BlockInfo, StreamIndex, _rle_code_lengths
@@ -325,11 +326,20 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
         if d1 == nblocks:
             hdr_bits_arr[B - 1] = hb1
         with stats.timer("pack"), trace("zlibes.pack"):
-            words, payload_end, lane_bit0 = pack_payload(
-                tv, td, lsym, dsym, valid,
-                ll_code_b, ll_len_b, d_code_b, d_len_b,
-                jnp.asarray(hdr_bits_arr), enabled, nseg=nseg, W=W,
-            )
+            if cfg.max_code_bits <= 9:
+                # turbo: tokens are <=32 coded bits -> scatter-free pack
+                R = -(-((SEG_SIZE * cfg.max_code_bits + 31) // 32 + 2) // 8) * 8
+                words, payload_end, lane_bit0 = pack_payload_fast(
+                    tv, td, lsym, dsym, valid,
+                    ll_code_b, ll_len_b, d_code_b, d_len_b,
+                    jnp.asarray(hdr_bits_arr), enabled, nseg=nseg, W=W, R=R,
+                )
+            else:
+                words, payload_end, lane_bit0 = pack_payload(
+                    tv, td, lsym, dsym, valid,
+                    ll_code_b, ll_len_b, d_code_b, d_len_b,
+                    jnp.asarray(hdr_bits_arr), enabled, nseg=nseg, W=W,
+                )
         payload_end_np = np.asarray(payload_end)
         lane_bit0_np = np.asarray(lane_bit0)
         used_words = np.zeros(B, np.int64)

@@ -185,6 +185,165 @@ def pack_payload(
     return words.reshape(B, W), payload_end, lane_bit0
 
 
+def _seg_or_scan(c0: jax.Array, first: jax.Array) -> jax.Array:
+    """Inclusive segmented OR along axis 1; ``first`` marks segment starts."""
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf > 0, bv, av | bv), af | bf
+
+    vv, _ = jax.lax.associative_scan(
+        comb, (c0, first.astype(jnp.uint32)), axis=1)
+    return vv
+
+
+@partial(jax.jit, static_argnames=("nseg", "W", "R"))
+def pack_payload_fast(
+    toks_val: jax.Array,    # int32 (L, T)
+    toks_dist: jax.Array,   # int32 (L, T)
+    lsym: jax.Array,        # int32 (L, T)
+    dsym: jax.Array,        # int32 (L, T) (-1 for literals)
+    valid: jax.Array,       # bool (L, T)
+    ll_code: jax.Array,     # uint32 (B, 288) bit-reversed codes (LSB-first)
+    ll_len: jax.Array,      # int32 (B, 288)
+    d_code: jax.Array,      # uint32 (B, 32)
+    d_len: jax.Array,       # int32 (B, 32)
+    hdr_bits: jax.Array,    # int32 (B,)
+    enabled: jax.Array,     # bool (B,)
+    nseg: int,
+    W: int,                 # u32 words per block buffer
+    R: int,                 # u32 words per lane row (>= max lane bits/32 + 2)
+):
+    """Scatter-free payload packing for <=32-bit tokens (turbo profile).
+
+    pack_payload's three scatter-adds cost ~10 ns per token-word on TPU
+    (~45 ms for a 2 MiB dispatch — 2/3 of the whole encode).  When every
+    token fits 32 coded bits (CodecConfig.turbo() guarantees this via
+    split_far), the bit stream has special structure: a token crosses at
+    most ONE word boundary, so consecutive tokens' word indices advance by
+    at most 1, every word owns a contiguous token run, and only the LAST
+    token of a word's run carries bits into the next word.  Packing then
+    decomposes into dense ops:
+
+      1. per-token word index / shift from the bit-offset exclusive scan;
+      2. segmented OR-scan accumulates each word's in-word contributions
+         (the carry into word w+1 lives only in the run-end token, and its
+         bits are disjoint from word w+1's own contributions — so byte-
+         plane SUMS are exact ORs);
+      3. run-end values place into per-lane word rows with ONE one-hot
+         matmul over R word slots (exact: 0/1 one-hot x <=255 byte planes
+         on the MXU, f32 accumulation);
+      4. one per-lane row scatter splices rows into the block buffers
+         (L*R indices instead of 3*L*T).
+
+    Same contract as pack_payload.
+    """
+    from .symbol_math import dist_extra, len_extra, onehot_rows
+
+    L, T = toks_val.shape
+    B = L // nseg
+    blk2 = jax.lax.broadcasted_iota(jnp.int32, (L, T), 0) // nseg
+    is_match = valid & (toks_dist > 0)
+
+    vs = jnp.clip(toks_val, 0, C.MAX_MATCH)
+    ds = jnp.clip(toks_dist, 0, C.WINDOW_SIZE)
+
+    def table_lookup(sym, codes, lens, S):
+        oh = onehot_rows(jnp.clip(sym, 0, S - 1).reshape(B, nseg * T),
+                         S, jnp.bfloat16)
+        tab = jnp.stack([
+            (codes & 0xFF).astype(jnp.bfloat16),
+            (codes >> 8).astype(jnp.bfloat16),
+            lens.astype(jnp.bfloat16),
+        ], axis=2)
+        r = jax.lax.dot_general(
+            oh, tab, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        r = r.reshape(L, T, 3)
+        code = (r[..., 0].astype(jnp.uint32)
+                | (r[..., 1].astype(jnp.uint32) << 8))
+        return code, r[..., 2].astype(jnp.int32)
+
+    f1v, f1n = table_lookup(lsym, ll_code, ll_len, C.NUM_LITLEN_SYMBOLS)
+    f1n = jnp.where(valid, f1n, 0)
+    f3v, f3n = table_lookup(jnp.where(is_match, dsym, 0), d_code, d_len,
+                            C.NUM_DIST_SYMBOLS)
+    f3v = jnp.where(is_match, f3v, 0)
+    f3n = jnp.where(is_match, f3n, 0)
+    le_n, le_v = len_extra(vs)
+    f2v = jnp.where(is_match, le_v, 0).astype(jnp.uint32)
+    f2n = jnp.where(is_match, le_n, 0)
+    de_n, de_v = dist_extra(ds)
+    f4v = jnp.where(is_match, de_v, 0).astype(jnp.uint32)
+    f4n = jnp.where(is_match, de_n, 0)
+
+    tb = f1n + f2n + f3n + f4n  # total bits per token, <= 32 by profile
+
+    # combined <=32-bit field value (shift amounts clamped so a wider-than-
+    # contract token corrupts only itself, not the lane)
+    n12 = (f1n + f2n).astype(jnp.uint32)
+    val = f1v | (f2v << f1n.astype(jnp.uint32))
+    val = val | jnp.where(n12 < 32, f3v << jnp.minimum(n12, 31), 0)
+    n123 = n12 + f3n.astype(jnp.uint32)
+    val = val | jnp.where(n123 < 32, f4v << jnp.minimum(n123, 31), 0)
+
+    # bit offsets (identical bookkeeping to pack_payload)
+    lane_tot = jnp.sum(tb, axis=1)
+    lane_cum = jnp.cumsum(lane_tot) - lane_tot
+    lane_id = jnp.arange(L, dtype=jnp.int32)
+    blk_first = (lane_id // nseg) * nseg
+    lane_base = lane_cum - lane_cum[blk_first]
+    within = jnp.cumsum(tb, axis=1) - tb
+    blk1 = lane_id // nseg
+    lane_bit0 = lane_base + hdr_bits[blk1]
+    payload_end = jnp.zeros(B, jnp.int32).at[blk1].add(lane_tot) + hdr_bits
+
+    en = enabled[blk2] & valid & (tb > 0)
+    lane_word0 = lane_bit0 >> 5
+    rel = within + (lane_bit0 & 31)[:, None]     # bit offset within lane row
+    dw = jnp.where(en, rel >> 5, R)              # word slot; R = inactive
+    sh = (rel & 31).astype(jnp.uint32)
+    c0 = jnp.where(en, val << sh, 0)
+    c1 = jnp.where(en, (val >> (jnp.uint32(31) - sh)) >> 1, 0)
+
+    first = dw > jnp.pad(dw, ((0, 0), (1, 0)), constant_values=-1)[:, :T]
+    acc = _seg_or_scan(c0, first)
+    dw_next = jnp.pad(dw, ((0, 0), (0, 1)), constant_values=1 << 30)[:, 1:]
+    is_end = (dw_next > dw) & en
+
+    # place run-end values: ONE one-hot matmul; cols 0-3 = word w bytes,
+    # cols 4-7 = the carry bytes (shifted one word right afterwards)
+    oh = onehot_rows(jnp.where(is_end, dw, R), R, jnp.bfloat16)  # (L, T, R)
+    vals8 = jnp.stack(
+        [((acc >> (8 * k)) & 0xFF).astype(jnp.bfloat16) for k in range(4)]
+        + [((c1 >> (8 * k)) & 0xFF).astype(jnp.bfloat16) for k in range(4)],
+        axis=2)  # (L, T, 8)
+    placed = jax.lax.dot_general(
+        oh, vals8, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (L, R, 8)
+    placed = placed.astype(jnp.int32).astype(jnp.uint32)
+
+    def u32(b4):  # (L, R, 4) byte planes -> (L, R) words
+        return (b4[..., 0] | (b4[..., 1] << 8) | (b4[..., 2] << 16)
+                | (b4[..., 3] << 24))
+
+    main = u32(placed[..., 0:4])
+    carry = u32(placed[..., 4:8])
+    rows = main | jnp.pad(carry, ((0, 0), (1, 0)))[:, :R]
+
+    # splice lane rows into block buffers (single-word overlaps at lane
+    # boundaries are disjoint-bit, so add == or)
+    lane_en = enabled[blk1]
+    OOB = B * W
+    base = jnp.where(lane_en, blk1 * W + lane_word0, OOB)
+    idx = base[:, None] + jax.lax.broadcasted_iota(jnp.int32, (L, R), 1)
+    idx = jnp.where(idx < (blk1 * W + W)[:, None], idx, OOB)
+    words = jnp.zeros(B * W + 1, jnp.uint32).at[idx.reshape(-1)].add(
+        rows.reshape(-1), mode="drop")[: B * W]
+
+    return words.reshape(B, W), payload_end, lane_bit0
+
+
 @jax.jit
 def gather_compressed(words_flat: jax.Array, idx: jax.Array) -> jax.Array:
     """Compact per-block word buffers into one dense array for download."""
