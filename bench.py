@@ -129,9 +129,12 @@ def main() -> None:
     inf_gbps = nbytes / t_inf / 1e9
     _log(f"inflate: {t_inf*1e3:.3f} ms/exec -> {inf_gbps:.3f} GB/s")
 
-    # ---- deflate device stages, scan-amortized (phase1 + pack)
-    from zlibes_tpu.ops.lz77 import find_matches, select_tokens
-    from zlibes_tpu.ops.deflate_kernel import pack_payload, token_symbols
+    # ---- deflate device stages, scan-amortized (phase1 + pack), using the
+    # exact turbo-profile kernels dp.deflate dispatches (two-phase matcher,
+    # Pallas lock-step selection, scatter-free pack)
+    from zlibes_tpu.codec.deflate_pipeline import _select_turbo_glue
+    from zlibes_tpu.ops.lz77 import find_matches
+    from zlibes_tpu.ops.deflate_kernel import pack_payload_fast, token_symbols
     N = cfg.block_size
     nseg = N // cfg.seg_size
     Bp = cfg.blocks_per_dispatch
@@ -165,17 +168,20 @@ def main() -> None:
     hdrb = jnp.full(Bp, 100, jnp.int32)
     en = jnp.ones(Bp, bool)
 
+    R = -(-((cfg.seg_size * cfg.max_code_bits + 31) // 32 + 2) // 8) * 8
+
     @jax.jit
     def run_deflate(blk_stack, nv):
         def body(c, blocks):
             m = find_matches(blocks, nv, N=N, S=cfg.probe_words,
-                             J=cfg.candidates, reset=cfg.chunk_reset)
-            tv, td, cnt = select_tokens(blocks, m, nv, N=N,
-                                        SEG_SIZE=cfg.seg_size, lazy=cfg.lazy,
-                                        split_far=True)
+                             J=cfg.candidates, reset=cfg.chunk_reset,
+                             two_phase=True)
+            tv, td, cnt = _select_turbo_glue(blocks, m, nv, N=N,
+                                             SEG_SIZE=cfg.seg_size,
+                                             lazy=cfg.lazy, split_far=True)
             lsym, dsym, valid, llf, dfq = token_symbols(tv, td, cnt, nseg=nseg)
-            words, pe, lb = pack_payload(tv, td, lsym, dsym, valid, *tabs,
-                                         hdrb, en, nseg=nseg, W=W)
+            words, pe, lb = pack_payload_fast(tv, td, lsym, dsym, valid, *tabs,
+                                              hdrb, en, nseg=nseg, W=W, R=R)
             return c + pe.sum() + llf[0, 0] + words[0, 0].astype(jnp.int32), None
         c, _ = jax.lax.scan(body, jnp.int32(0), blk_stack)
         return c

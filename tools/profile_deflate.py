@@ -20,7 +20,8 @@ from zlibes_tpu.codec.deflate_pipeline import (_encode_tables,
                                                _select_turbo_glue,
                                                package_merge_np)
 from zlibes_tpu.config import CodecConfig
-from zlibes_tpu.ops.deflate_kernel import pack_payload, token_symbols
+from zlibes_tpu.ops.deflate_kernel import (pack_payload, pack_payload_fast,
+                                           token_symbols)
 from zlibes_tpu.ops.lz77 import find_matches
 from zlibes_tpu.spec import constants as CC
 
@@ -153,6 +154,18 @@ def main():
             return c + pe.sum() + words[0, 0].astype(jnp.int32), None
         return jax.lax.scan(body, jnp.int32(0), (tvs, tds, lss, dss, vas))[0]
     timeit("pack", run_pack, tv_s, td_s, ls_s, ds_s, va_s)
+
+    # --- pack_fast (turbo scatter-free pack)
+    R = -(-((cfg.seg_size * cfg.max_code_bits + 31) // 32 + 2) // 8) * 8
+
+    def run_packf(tvs, tds, lss, dss, vas):
+        def body(c, x):
+            tv, td, ls, ds, va = x
+            words, pe, lb = pack_payload_fast(
+                tv, td, ls, ds, va, *tabs, hdrb, en, nseg=nseg, W=W, R=R)
+            return c + pe.sum() + words[0, 0].astype(jnp.int32), None
+        return jax.lax.scan(body, jnp.int32(0), (tvs, tds, lss, dss, vas))[0]
+    timeit("pack_fast", run_packf, tv_s, td_s, ls_s, ds_s, va_s)
 
 
 if __name__ == "__main__":

@@ -90,16 +90,23 @@ def find_matches(
     # sort costs ~1 ms per operand on v5e, vs ~15 ns per element for the
     # take_along_axis gather it replaces — 40x on the whole matcher)
     wp = jnp.pad(w32, ((0, 0), (0, 4 * S)))
-    sorted_ops = jax.lax.sort(
-        (key, pos) + tuple(wp[:, 4 * s : 4 * s + N] for s in range(S)),
-        dimension=1, is_stable=True, num_keys=1)
+    ops = (key, pos) + tuple(wp[:, 4 * s : 4 * s + N] for s in range(S))
+    # window-reset profiles: matches never cross a ``reset`` boundary, so
+    # the sort decomposes into independent ``reset``-element row sorts —
+    # N/reset-fold shallower merge networks, rows that fit VMEM
+    nrow = N // reset if (reset and N % reset == 0) else 1
+    if nrow > 1:
+        ops = tuple(o.reshape(B * nrow, reset) for o in ops)
+    sorted_ops = jax.lax.sort(ops, dimension=1, is_stable=True, num_keys=1)
     skey, spos = sorted_ops[0], sorted_ops[1]
     probes = jnp.stack(sorted_ops[2:])
 
-    limit = jnp.minimum(n_valid[:, None] - spos, C.MAX_MATCH)
+    nv_row = jnp.repeat(n_valid, nrow) if nrow > 1 else n_valid
+    limit = jnp.minimum(nv_row[:, None] - spos, C.MAX_MATCH)
 
     # candidate loop as fori_loop (compile-time stays O(1), not O(J));
     # pad once, slide with dynamic slices
+    Bn, Nn = spos.shape
     spos_p = jnp.pad(spos, ((0, 0), (J, 0)))
     skey_p = jnp.pad(skey, ((0, 0), (J, 0)), constant_values=-1)
     probes_p = jnp.pad(probes, ((0, 0), (0, 0), (J, 0)))
@@ -107,7 +114,7 @@ def find_matches(
     def cand_score(jj):
         """(validity, word-0 trailing bytes, dist) of candidate jj."""
         def sl(a):
-            return jax.lax.dynamic_slice_in_dim(a, J - jj, N, axis=a.ndim - 1)
+            return jax.lax.dynamic_slice_in_dim(a, J - jj, Nn, axis=a.ndim - 1)
 
         cpos = sl(spos_p)
         ckey = sl(skey_p)
@@ -121,11 +128,11 @@ def find_matches(
     def full_len(jj, ok, dist):
         """Exact match length of candidate jj (trailing-eq over all S)."""
         def sl(a):
-            return jax.lax.dynamic_slice_in_dim(a, J - jj, N, axis=a.ndim - 1)
+            return jax.lax.dynamic_slice_in_dim(a, J - jj, Nn, axis=a.ndim - 1)
 
         t = _trailing_eq_bytes(probes ^ sl(probes_p))
         alive = jnp.cumprod(
-            jnp.concatenate([jnp.ones((1, B, N), jnp.int32),
+            jnp.concatenate([jnp.ones((1, Bn, Nn), jnp.int32),
                              (t[:-1] == 4).astype(jnp.int32)]), axis=0)
         ml = jnp.sum(t * alive, axis=0)
         ml = jnp.minimum(ml, limit)
@@ -144,7 +151,7 @@ def find_matches(
             ok, dist = cand_score(jj)
             t0 = _trailing_eq_bytes(
                 probes[0] ^ jax.lax.dynamic_slice_in_dim(
-                    probes_p[0], J - jj, N, axis=1))
+                    probes_p[0], J - jj, Nn, axis=1))
             sc = jnp.where(ok, jnp.minimum(t0, limit), -1)
             b1 = sc > s1
             b2 = ~b1 & (sc > s2)
@@ -154,8 +161,8 @@ def find_matches(
             j1n = jnp.where(b1, jj, j1)
             return (s1n, j1n, s2n, j2n)
 
-        neg = jnp.full((B, N), -1, jnp.int32)
-        zero = jnp.zeros((B, N), jnp.int32)
+        neg = jnp.full((Bn, Nn), -1, jnp.int32)
+        zero = jnp.zeros((Bn, Nn), jnp.int32)
         s1, j1, s2, j2 = jax.lax.fori_loop(
             1, J + 1, rank_body, (neg, zero, neg, zero))
 
@@ -166,10 +173,10 @@ def find_matches(
             def gather_shift(arr2d):
                 def body(jj, acc):
                     sh = jax.lax.dynamic_slice_in_dim(
-                        arr2d, J - jj, N, axis=1)
+                        arr2d, J - jj, Nn, axis=1)
                     return jnp.where(jsel == jj, sh, acc)
                 return jax.lax.fori_loop(1, J + 1, body,
-                                         jnp.zeros((B, N), arr2d.dtype))
+                                         jnp.zeros((Bn, Nn), arr2d.dtype))
 
             cpos = gather_shift(spos_p)
             ckey = gather_shift(skey_p)
@@ -180,7 +187,7 @@ def find_matches(
             csel = jnp.stack([gather_shift(probes_p[s]) for s in range(S)])
             t = _trailing_eq_bytes(probes ^ csel)
             alive = jnp.cumprod(
-                jnp.concatenate([jnp.ones((1, B, N), jnp.int32),
+                jnp.concatenate([jnp.ones((1, Bn, Nn), jnp.int32),
                                  (t[:-1] == 4).astype(jnp.int32)]), axis=0)
             ml = jnp.sum(t * alive, axis=0)
             ml = jnp.minimum(ml, limit)
@@ -203,12 +210,14 @@ def find_matches(
 
         best_ml, best_dist = jax.lax.fori_loop(
             1, J + 1, cand_body,
-            (jnp.zeros((B, N), jnp.int32), jnp.zeros((B, N), jnp.int32)),
+            (jnp.zeros((Bn, Nn), jnp.int32), jnp.zeros((Bn, Nn), jnp.int32)),
         )
 
     packed_sorted = (best_ml << 16) | best_dist
     # un-permute to position order with a second sort (scatter-free)
     _, packed = jax.lax.sort((spos, packed_sorted), dimension=1, num_keys=1)
+    if nrow > 1:
+        packed = packed.reshape(B, N)
 
     # dist-1 runs (covers long RLE matches beyond the probe cap):
     # clen[p] = length of the constant-byte run starting at p
