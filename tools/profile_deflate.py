@@ -156,7 +156,7 @@ def main():
     timeit("pack", run_pack, tv_s, td_s, ls_s, ds_s, va_s)
 
     # --- pack_fast (turbo scatter-free pack)
-    R = -(-((cfg.seg_size * cfg.max_code_bits + 31) // 32 + 2) // 8) * 8
+    R = cfg.pack_row_width()
 
     def run_packf(tvs, tds, lss, dss, vas):
         def body(c, x):

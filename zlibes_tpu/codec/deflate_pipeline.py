@@ -289,13 +289,20 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
             kept[d0] = (tv, td, cnt, n_valid, lsym, dsym, valid)
         stats.dispatches += 1
 
-    # --- host: one shared table pair (header-sized work, done once)
+    # --- one shared table pair: code lengths built ON DEVICE (north star
+    # C7: package-merge → sort+prefix ops; ops/entropy.py), one dispatch
+    # for both alphabets.  Only the header serialization (RLE + ~dozens of
+    # bits) stays host-side.
     with stats.timer("entropy"):
+        from ..ops.entropy import limited_lengths_pair
+
         ll_total[C.END_OF_BLOCK] += nblocks
-        ll_len = package_merge_np(ll_total, cfg.max_code_bits)
-        d_len = package_merge_np(d_total, cfg.max_code_bits)
-        if d_len.max(initial=0) == 0:
-            d_len[0] = 1
+        ll_d, d_d = limited_lengths_pair(
+            jnp.asarray(np.minimum(ll_total, 1 << 28).astype(np.int32)),
+            jnp.asarray(np.minimum(d_total, 1 << 28).astype(np.int32)),
+            cfg.max_code_bits)
+        ll_len = np.asarray(ll_d).astype(np.int64)
+        d_len = np.asarray(d_d).astype(np.int64)
         hdr0, hb0 = _dynamic_header(ll_len, d_len, 0)
         hdr1, hb1 = _dynamic_header(ll_len, d_len, 1)
         ll_code, d_code = _encode_tables(ll_len, d_len)
@@ -328,7 +335,7 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
         with stats.timer("pack"), trace("zlibes.pack"):
             if cfg.max_code_bits <= 9:
                 # turbo: tokens are <=32 coded bits -> scatter-free pack
-                R = -(-((SEG_SIZE * cfg.max_code_bits + 31) // 32 + 2) // 8) * 8
+                R = cfg.pack_row_width(SEG_SIZE)
                 words, payload_end, lane_bit0 = pack_payload_fast(
                     tv, td, lsym, dsym, valid,
                     ll_code_b, ll_len_b, d_code_b, d_len_b,

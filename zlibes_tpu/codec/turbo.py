@@ -112,7 +112,11 @@ class TurboPlan:
 
     @staticmethod
     def build(data: bytes, index: StreamIndex,
-              lane_block: int = tk.LANE_BLOCK) -> "TurboPlan":
+              lane_block: int = tk.LANE_BLOCK,
+              min_lanes: int = 0) -> "TurboPlan":
+        """``min_lanes`` pads the lane count further (power of two, multiple
+        of ``lane_block``) so a mesh-sharded run can give every device a
+        whole number of lane blocks."""
         from .inflate_pipeline import _block_code_lengths
 
         if not getattr(index, "turbo", False):

@@ -48,6 +48,15 @@ class CodecConfig:
         if not 7 <= self.max_code_bits <= 15:
             raise ValueError("max_code_bits must be in 7..15")
 
+    def pack_row_width(self, seg_size: int | None = None) -> int:
+        """Word-slot row width R for ``pack_payload_fast``: enough u32
+        slots for a worst-case segment (every coded bit) plus 2 carry
+        slots, rounded up to a multiple of 8 lanes.  Single source of
+        truth — the production pipeline and every benchmark must measure
+        the same kernel configuration (ADVICE r2)."""
+        s = self.seg_size if seg_size is None else seg_size
+        return -(-((s * self.max_code_bits + 31) // 32 + 2) // 8) * 8
+
     @staticmethod
     def turbo(candidates: int = 16, probe_words: int = 16,
               lazy: bool = True) -> "CodecConfig":

@@ -82,3 +82,22 @@ def package_merge_device(freqs: jax.Array, max_len: int) -> jax.Array:
     single = jnp.where(used & (n_active == 1), 1, 0)
     return jnp.where(n_active == 1, single,
                      lengths).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("max_len",))
+def limited_lengths_pair(ll_freq: jax.Array, d_freq: jax.Array,
+                         max_len: int) -> tuple[jax.Array, jax.Array]:
+    """Both encode-table length arrays in ONE dispatch (litlen + dist).
+
+    The production entry point for on-device entropy construction
+    (north star: "package-merge builder → on-device sort+prefix ops";
+    reference analog /root/reference/src/huffman.ts:55-153): called by
+    the shared-table turbo encode between its two device phases and by
+    the sharded dynamic-table encode after the histogram psum.  Ensures
+    at least one distance code (RFC 1951 wants HDIST >= 1), matching the
+    host twin's ``d_len[0] = 1`` fixup.
+    """
+    ll = package_merge_device(ll_freq, max_len)
+    d = package_merge_device(d_freq, max_len)
+    d = jnp.where(jnp.max(d) == 0, d.at[0].set(1), d)
+    return ll, d

@@ -166,10 +166,20 @@ def find_matches(
         s1, j1, s2, j2 = jax.lax.fori_loop(
             1, J + 1, rank_body, (neg, zero, neg, zero))
 
-        def eval_sel(jsel):
+        def eval_sel(jsel, valid):
             """Exact length/dist of the per-position candidate jsel:
             assemble the finalist's shifted probe rows with J dense
-            selects per probe word, then one trailing-eq chain."""
+            selects per probe word, then one trailing-eq chain.
+
+            ``valid`` is an explicit per-position validity lane: where it
+            is False the finalist slot was never filled, and the zero-init
+            accumulator below would otherwise alias a fake candidate with
+            ckey=0/cpos=0 — which *matches real data* on zero-byte runs
+            (the round-2 turbo corruption: a claimed (len,dist) at any
+            position whose window contains zero triples).  Validity is
+            decided by the caller from the phase-A score lane, never from
+            a sentinel jsel value.
+            """
             def gather_shift(arr2d):
                 def body(jj, acc):
                     sh = jax.lax.dynamic_slice_in_dim(
@@ -181,7 +191,7 @@ def find_matches(
             cpos = gather_shift(spos_p)
             ckey = gather_shift(skey_p)
             dist = spos - cpos
-            ok = (ckey == skey) & (dist >= 1) & (dist <= C.WINDOW_SIZE)
+            ok = valid & (ckey == skey) & (dist >= 1) & (dist <= C.WINDOW_SIZE)
             if reset:
                 ok = ok & ((cpos // reset) == (spos // reset))
             csel = jnp.stack([gather_shift(probes_p[s]) for s in range(S)])
@@ -193,9 +203,11 @@ def find_matches(
             ml = jnp.minimum(ml, limit)
             return jnp.where(ok & (ml >= C.MIN_MATCH), ml, 0), dist
 
-        # evaluate both finalists only
-        ml1, d1 = eval_sel(jnp.where(s1 > 0, j1, 0))
-        ml2, d2 = eval_sel(jnp.where(s2 > 0, j2, 0))
+        # evaluate both finalists only; a score of 0 is a *valid*
+        # candidate (equal key, no shared word-0 bytes beyond the key —
+        # it can still run >= MIN_MATCH via later probe words)
+        ml1, d1 = eval_sel(j1, s1 >= 0)
+        ml2, d2 = eval_sel(j2, s2 >= 0)
         better2 = ml2 > ml1
         best_ml = jnp.where(better2, ml2, ml1)
         best_dist = jnp.where(better2, d2, d1)

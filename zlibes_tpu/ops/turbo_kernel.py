@@ -527,28 +527,31 @@ def _resolve_kernel(toks_ref, starts_ref, out_ref, scratch_ref):
             ktok = ktok + tid_l + done
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("CB",))
 def resolve_turbo(toks: jax.Array,    # (SUBS_PER_CHUNK, C, TOKENS_PAD) int32
-                  starts: jax.Array):  # same shape, start offsets in-sub-span
+                  starts: jax.Array,  # same shape, start offsets in-sub-span
+                  CB: int = CHUNK_BLOCK):
     """Expand per-sub-lane token streams into 4 KiB chunk rows.
 
     starts are per-token output offsets within the owning SUB-byte sub-lane
     span (0..SUB-1); padded/invalid slots must carry start 2048.
-    Returns (C, 4096) uint8.
+    ``CB`` = chunk rows per kernel invocation (must divide C; smaller
+    values let per-device shards of a mesh-sharded inflate stay under the
+    grid-divisibility constraint).  Returns (C, 4096) uint8.
     """
     _, Cp, TP = toks.shape
-    assert TP == TOKENS_PAD and Cp % CHUNK_BLOCK == 0
-    grid = (Cp // CHUNK_BLOCK,)
-    spec = pl.BlockSpec((SUBS_PER_CHUNK, CHUNK_BLOCK, TOKENS_PAD),
+    assert TP == TOKENS_PAD and Cp % CB == 0
+    grid = (Cp // CB,)
+    spec = pl.BlockSpec((SUBS_PER_CHUNK, CB, TOKENS_PAD),
                         lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _resolve_kernel,
         grid=grid,
         out_shape=jax.ShapeDtypeStruct((Cp, 4096), jnp.uint8),
         in_specs=[spec, spec],
-        out_specs=pl.BlockSpec((CHUNK_BLOCK, 4096), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((CB, 4096), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((CHUNK_BLOCK, 4096), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((CB, 4096), jnp.int32)],
         compiler_params=_params(),
         interpret=_interpret(),
     )(toks, starts)

@@ -33,7 +33,7 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..ops.adler32 import _M, _modsum, _mulmod
-from ..ops.deflate_kernel import pack_payload, token_symbols
+from ..ops.deflate_kernel import pack_payload, pack_payload_fast, token_symbols
 from ..ops.inflate_kernel import decode_tokens, resolve_global
 from ..ops.lz77 import find_matches, select_tokens
 from ..spec import constants as C
@@ -138,21 +138,32 @@ def sharded_deflate_step(
     )(blocks, n_valid)
 
 
-@partial(jax.jit, static_argnames=("mesh", "N", "SEG_SIZE", "S", "J"))
+@partial(jax.jit, static_argnames=("mesh", "N", "SEG_SIZE", "S", "J",
+                                   "max_code_bits", "reset", "turbo"))
 def sharded_histogram_step(
     blocks: jax.Array,   # uint8 (D*Bd, N+8) sharded over "blocks"
     n_valid: jax.Array,  # int32 (D*Bd,)
     n_total: jax.Array,  # int32 scalar: total input bytes
+    eob_add: jax.Array,  # int32 scalar: EOB count to add (= nblocks)
     mesh: Mesh,
     N: int, SEG_SIZE: int, S: int = 16, J: int = 16,
+    max_code_bits: int = 15,
+    reset: int = 0,      # LZ window reset span (turbo: 4096)
+    turbo: bool = False,  # two-phase matcher + Pallas lock-step selection
 ):
     """Phase 1 of dynamic-table sharded deflate: match-find + tokenize on
-    every device, then a real psum combines the global symbol histograms
-    (and the Adler-32 partials) across the mesh.
+    every device, a real psum combines the global symbol histograms (and
+    the Adler-32 partials) across the mesh, then the LENGTH-LIMITED CODE
+    LENGTHS are built on device in the same dispatch (ops/entropy.py
+    package-merge — north star C7; reference analog
+    /root/reference/src/huffman.ts:55-153).  No host round-trip sits
+    between the histogram and the code lengths.
 
     Returns (tv, td, cnt — sharded token streams kept on device for
-    phase 2; ll_tot (288,), d_tot (32,), adler — replicated).
+    phase 2; ll_len (288,), d_len (32,), adler — replicated).
     """
+    from ..ops.entropy import limited_lengths_pair
+
     DBd = blocks.shape[0]
     D = mesh.devices.size
     Bd = DBd // D
@@ -160,12 +171,22 @@ def sharded_histogram_step(
 
     def body(blocks, n_valid):
         shard = jax.lax.axis_index("blocks")
-        matches = find_matches(blocks, n_valid, N=N, S=S, J=J)
-        tv, td, cnt = select_tokens(blocks, matches, n_valid, N=N,
-                                    SEG_SIZE=SEG_SIZE)
+        matches = find_matches(blocks, n_valid, N=N, S=S, J=J,
+                               reset=reset, two_phase=turbo)
+        if turbo:
+            from ..codec.deflate_pipeline import _select_turbo_glue
+
+            tv, td, cnt = _select_turbo_glue(
+                blocks, matches, n_valid, N=N, SEG_SIZE=SEG_SIZE,
+                lazy=True, split_far=True)
+        else:
+            tv, td, cnt = select_tokens(blocks, matches, n_valid, N=N,
+                                        SEG_SIZE=SEG_SIZE)
         _ls, _ds, _v, llf, dfq = token_symbols(tv, td, cnt, nseg=nseg)
         ll_tot = jax.lax.psum(jnp.sum(llf, axis=0), "blocks")
         d_tot = jax.lax.psum(jnp.sum(dfq, axis=0), "blocks")
+        ll_tot = ll_tot.at[C.END_OF_BLOCK].add(eob_add)
+        ll_len, d_len = limited_lengths_pair(ll_tot, d_tot, max_code_bits)
         g_off = (shard * Bd + jnp.arange(Bd, dtype=jnp.int32)) * N
         a_c, b_c, offs = _adler_shard_terms(blocks, n_valid, g_off)
         w = jnp.where(a_c > 0, (n_total - offs) % _M, 0)
@@ -173,7 +194,7 @@ def sharded_histogram_step(
         s1 = (1 + jax.lax.psum(_modsum(a_c), "blocks")) % _M
         s2 = (n_total % _M + jax.lax.psum(_modsum(terms), "blocks")) % _M
         adler = (s2.astype(jnp.uint32) << 16) | s1.astype(jnp.uint32)
-        return tv, td, cnt, ll_tot, d_tot, adler
+        return tv, td, cnt, ll_len, d_len, adler
 
     return shard_map(
         body, mesh=mesh,
@@ -183,15 +204,20 @@ def sharded_histogram_step(
     )(blocks, n_valid)
 
 
-@partial(jax.jit, static_argnames=("mesh", "N", "SEG_SIZE", "W"))
+@partial(jax.jit, static_argnames=("mesh", "N", "SEG_SIZE", "W", "R"))
 def sharded_pack_step(
     tv: jax.Array, td: jax.Array, cnt: jax.Array,  # sharded token streams
     ll_code: jax.Array, ll_len: jax.Array,          # replicated shared tables
     d_code: jax.Array, d_len: jax.Array,
     hdr_bits: jax.Array,  # int32 (D*Bd,) per-block header bit length
     mesh: Mesh, N: int, SEG_SIZE: int, W: int,
+    R: int = 0,  # >0: scatter-free turbo pack with this row width
 ):
-    """Phase 2: bit-pack every device's token shard with the shared codes."""
+    """Phase 2: bit-pack every device's token shard with the shared codes.
+
+    ``R > 0`` routes through ``pack_payload_fast`` (the turbo scatter-free
+    packer; requires <=32-bit tokens, i.e. a 9-bit-capped shared table and
+    split far matches)."""
     DBd = cnt.shape[0] // (N // SEG_SIZE)
     D = mesh.devices.size
     Bd = DBd // D
@@ -204,6 +230,9 @@ def sharded_pack_step(
         dc = jnp.broadcast_to(d_code, (Bd, d_code.size))
         dl = jnp.broadcast_to(d_len, (Bd, d_len.size))
         en = jnp.ones(Bd, bool)
+        if R:
+            return pack_payload_fast(tv, td, lsym, dsym, valid, llc, lll,
+                                     dc, dl, hdrb, en, nseg=nseg, W=W, R=R)
         return pack_payload(tv, td, lsym, dsym, valid, llc, lll, dc, dl,
                             hdrb, en, nseg=nseg, W=W)
 
@@ -306,20 +335,19 @@ def parallel_deflate(data: bytes, mesh: Mesh, block_size: int = 32768,
     sharding = NamedSharding(mesh, P("blocks"))
     from ..codec.deflate_pipeline import (
         _FIXED_D_LEN, _FIXED_LL_LEN, _dynamic_header, _encode_tables,
-        _or_bits, package_merge_np)
+        _or_bits)
 
     if dynamic:
-        tv, td, cnt, ll_tot, d_tot, adler = sharded_histogram_step(
+        tv, td, cnt, ll_len_d, d_len_d, adler = sharded_histogram_step(
             _put(blocks, sharding), _put(n_valid, sharding), jnp.int32(n),
-            mesh=mesh, N=N, SEG_SIZE=seg_size,
+            jnp.int32(nblocks), mesh=mesh, N=N, SEG_SIZE=seg_size,
+            max_code_bits=max_code_bits,
         )
-        llf = np.asarray(ll_tot).astype(np.int64)
-        llf[C.END_OF_BLOCK] += nblocks
-        ll_len = package_merge_np(llf, max_code_bits)
-        d_len = package_merge_np(np.asarray(d_tot).astype(np.int64),
-                                 max_code_bits)
-        if d_len.max(initial=0) == 0:
-            d_len[0] = 1
+        # code lengths were built on device (package-merge inside the
+        # histogram dispatch); only the ~50-byte header serialization and
+        # the canonical code assignment stay host-side
+        ll_len = np.asarray(ll_len_d).astype(np.int64)
+        d_len = np.asarray(d_len_d).astype(np.int64)
         hdr0, hb0 = _dynamic_header(ll_len, d_len, 0)
         hdr1, hb1 = _dynamic_header(ll_len, d_len, 1)
         ll_code, d_code = _encode_tables(ll_len, d_len)
