@@ -70,3 +70,35 @@ def test_parallel_dynamic_deflate_ratio():
     assert len(comp_dyn) < len(comp_fix) * 0.92  # dynamic must clearly win
     single = dp.deflate(data, block_size=16384)
     assert len(comp_dyn) <= len(single) * 1.10  # near the per-block-table ratio
+
+
+@needs_multidevice
+def test_parallel_turbo_roundtrip():
+    """VERDICT r2 #4: the FLAGSHIP (turbo) pipeline under the mesh — the
+    sharded encode runs the two-phase matcher + Pallas lock-step selection
+    + scatter-free pack; the sharded inflate runs extract/shift/
+    decode_turbo/resolve_turbo on every device's lane shard."""
+    data = (Path(__file__).parent / "golden" / "raw.bin").read_bytes()[:131072]
+    mesh = make_mesh(8)
+    comp, index = parallel_deflate(data, mesh, block_size=16384, turbo=True,
+                                   with_index=True)
+    assert pyzlib.decompress(comp) == data  # oracle gate
+    assert index.turbo
+    out = parallel_inflate(comp, index, mesh)
+    assert out == data
+
+
+@needs_multidevice
+def test_parallel_turbo_inflate_of_host_stream():
+    """A turbo stream from the single-device encoder decodes on the mesh."""
+    from zlibes_tpu.codec import deflate_pipeline as dp
+    from zlibes_tpu.config import CodecConfig
+
+    data = (Path(__file__).parent / "golden" / "raw.bin").read_bytes()[:98304]
+    comp, index = dp.deflate(data, with_index=True,
+                             config=CodecConfig.turbo(candidates=4,
+                                                      probe_words=4),
+                             block_size=16384)
+    mesh = make_mesh(8)
+    out = parallel_inflate(comp, index, mesh)
+    assert out == data

@@ -28,22 +28,35 @@ import numpy as np
 
 
 def main():
+    """Measures the TURBO pipeline under the mesh (VERDICT r2 #4): the
+    sharded two-phase match + Pallas lock-step select + scatter-free pack
+    on the encode side, and the sharded extract/decode_turbo/resolve_turbo
+    lanes on the inflate side.  Pass ``--legacy`` for the round-1 XLA
+    kernel pipeline."""
+    import zlib
+
     from zlibes_tpu.parallel import make_mesh, parallel_deflate, parallel_inflate
     from zlibes_tpu.spec import refmodel as rm
 
+    turbo = "--legacy" not in sys.argv
     raw = (Path(__file__).resolve().parent.parent
            / "tests" / "golden" / "raw.bin").read_bytes()
     data = b"".join(raw[i * 60000:] + raw[: i * 60000] for i in range(4))
-    stream, index = rm.deflate(data, block_size=65536, with_index=True,
-                               anchor_every=4096)
+    if turbo:
+        mesh8 = make_mesh(8)
+        stream, index = parallel_deflate(data, mesh8, block_size=65536,
+                                         turbo=True, with_index=True)
+    else:
+        stream, index = rm.deflate(data, block_size=65536, with_index=True,
+                                   anchor_every=4096)
     results = {}
     for nd in (1, 2, 4, 8):
         mesh = make_mesh(nd)
         # warm (compile)
-        parallel_deflate(data, mesh, block_size=65536)
+        parallel_deflate(data, mesh, block_size=65536, turbo=turbo)
         t0 = time.perf_counter()
         for _ in range(3):
-            comp = parallel_deflate(data, mesh, block_size=65536)
+            comp = parallel_deflate(data, mesh, block_size=65536, turbo=turbo)
         t_def = (time.perf_counter() - t0) / 3
         parallel_inflate(stream, index, mesh)
         t0 = time.perf_counter()
@@ -51,8 +64,6 @@ def main():
             out = parallel_inflate(stream, index, mesh)
         t_inf = (time.perf_counter() - t0) / 3
         assert out == data
-        import zlib
-
         assert zlib.decompress(comp) == data
         results[nd] = (len(data) / t_def / 1e9, len(data) / t_inf / 1e9)
         print(f"devices={nd}: deflate {results[nd][0]:.4f} GB/s, "
@@ -61,6 +72,7 @@ def main():
     base_d, base_i = results[1]
     print(json.dumps({
         "metric": "virtual_mesh_scaling",
+        "pipeline": "turbo" if turbo else "legacy",
         "unit": "GB/s (CPU mesh; shape matters, not magnitude)",
         "deflate": {str(k): round(v[0], 4) for k, v in results.items()},
         "inflate": {str(k): round(v[1], 4) for k, v in results.items()},

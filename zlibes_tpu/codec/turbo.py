@@ -149,7 +149,7 @@ class TurboPlan:
         p = TurboPlan()
         p.L = L
         p.LB = lane_block
-        p.L_pad = _bucket(L, lane_block)
+        p.L_pad = max(_bucket(L, lane_block), min_lanes)
         p.C_pad = p.L_pad // tk.SUBS_PER_CHUNK
         p.total_out = index.total_out
         mt = int(getattr(index, "max_tokens", 0)) or tk.MAX_TOKENS

@@ -283,9 +283,96 @@ def sharded_inflate_step(
     )(litlen_tab, dist_tab, table_row, bit0, end_bit, active, out_base, span)
 
 
-# ---------------------------------------------------------------------------
-# Host wrappers
-# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("mesh", "T", "LB", "CB"))
+def sharded_turbo_inflate_step(
+    words: jax.Array,      # (NB, 128) int32 replicated aligned stream blocks
+    starts_w: jax.Array,   # (L_pad,) int32 per-lane first block idx, sharded
+    shift_idx: jax.Array,  # (L_pad, 128) int32 residue+iota, sharded
+    bit0: jax.Array,       # (8, L_pad//8) int32 lane-grid, cols sharded
+    endb: jax.Array,       # (8, L_pad//8) int32 lane-grid, cols sharded
+    lt: jax.Array,         # (8, 512) int32 replicated litlen table
+    dt: jax.Array,         # (8, 512) int32 replicated dist table
+    mesh: Mesh, T: int, LB: int, CB: int,
+):
+    """The FLAGSHIP inflate under the mesh: every device runs the full
+    Pallas turbo pipeline (DMA lane extraction → shift → lock-step decode
+    → token glue → chunk-row LZ resolve) on its contiguous shard of
+    anchor lanes.  Lanes are independent by construction (512 B anchors,
+    4 KiB window resets), so the only cross-device traffic is the input
+    broadcast — compute scales linearly with devices.
+
+    Requires L_pad % (D * LB) == 0 (whole lane-blocks per device; the
+    lane-grid column span of a device is then exactly its lane span).
+    Returns (rows (C_pad, 4096) uint8 sharded over chunks,
+    meta (4, L_pad) int32 replicated-layout lane metadata, sharded cols).
+    Replaces the reference's bit-serial decode + byte-copy loops
+    (/root/reference/src/inflate.ts:237-291) at mesh scale.
+    """
+    from ..codec.turbo import _from_grid, _glue_tokens, _to_planes
+    from ..ops import turbo_kernel as tk
+
+    L_pad = starts_w.shape[0]
+    D = mesh.devices.size
+    L_loc = L_pad // D
+    assert L_loc % LB == 0, "need whole lane-blocks per device"
+    C_loc = L_loc // tk.SUBS_PER_CHUNK
+
+    def body(starts_w, shift_idx, bit0, endb):
+        fetched = tk.extract_lanes(words, starts_w)
+        lanes = tk.shift_lanes(fetched, shift_idx, LB=LB)
+        planes = _to_planes(lanes, LB=LB)
+        tg, mg = tk.decode_turbo(planes, bit0, endb, lt, dt, T=T, LB=LB)
+        tokens = _from_grid(tg, LB=LB)
+        meta = _from_grid(mg, LB=LB)
+        t8, s8 = _glue_tokens(tokens, meta[0], T=T, C_pad=C_loc)
+        rows = tk.resolve_turbo(t8, s8, CB=CB)
+        return rows, meta
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P("blocks"), P("blocks"), P(None, "blocks"),
+                  P(None, "blocks")),
+        out_specs=(P("blocks"), P(None, "blocks")),
+        check_vma=False,
+    )(starts_w, shift_idx, bit0, endb)
+
+
+def parallel_inflate_turbo(data: bytes, index, mesh: Mesh,
+                           lane_block: int | None = None,
+                           check: bool = True) -> bytes:
+    """Mesh-sharded turbo inflate (anchor lanes split across devices)."""
+    from ..codec.turbo import TurboPlan
+    from ..ops import turbo_kernel as tk
+    from ..spec.errors import CorruptError
+
+    D = mesh.devices.size
+    # lane block sized so every device gets >= one whole block
+    if lane_block is None:
+        from ..codec.turbo import _bucket as _b
+
+        lane_block = min(tk.LANE_BLOCK,
+                         max(8, _b(-(-index.anchor_bit.size // D), 8)))
+    plan = TurboPlan.build(bytes(data), index, lane_block=lane_block,
+                           min_lanes=D * lane_block)
+    if plan.L_pad % (D * plan.LB):
+        raise CorruptError("lane padding does not tile the mesh")
+    L_loc = plan.L_pad // D
+    CB = min(tk.CHUNK_BLOCK, L_loc // tk.SUBS_PER_CHUNK)
+    sh = NamedSharding(mesh, P("blocks"))
+    sh_col = NamedSharding(mesh, P(None, "blocks"))
+    rows, meta = sharded_turbo_inflate_step(
+        plan.words,
+        _put(np.asarray(plan.starts_w), sh),
+        _put(np.asarray(plan.shift_idx), sh),
+        _put(np.asarray(plan.bit0), sh_col),
+        _put(np.asarray(plan.endb), sh_col),
+        plan.lt, plan.dt,
+        mesh=mesh, T=plan.T, LB=plan.LB, CB=CB,
+    )
+    if check:
+        plan.check_meta(_to_host(meta))
+    flat = _to_host(rows).reshape(-1)[: plan.total_out]
+    return flat.tobytes()
 
 
 def _put(arr: np.ndarray, sharding) -> jax.Array:
@@ -306,42 +393,94 @@ def _to_host(arr: jax.Array) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
 
-def parallel_deflate(data: bytes, mesh: Mesh, block_size: int = 32768,
+def parallel_deflate(data: bytes | None, mesh: Mesh, block_size: int = 32768,
                      seg_size: int = 1024, dynamic: bool = True,
-                     max_code_bits: int = 15) -> bytes:
+                     max_code_bits: int = 15, turbo: bool = False,
+                     with_index: bool = False,
+                     n_bytes: int | None = None,
+                     block_provider=None):
     """Block-parallel deflate across the mesh → zlib stream.
 
     ``dynamic=True`` (default): two sharded phases — a psum-combined
-    global histogram, then a shared length-limited table pair packs every
-    device's token shard (one host package-merge total, no per-block host
-    loop).  ``dynamic=False`` keeps the single-phase fixed-Huffman step.
+    global histogram with on-device package-merge, then a shared
+    length-limited table pair packs every device's token shard.
+    ``dynamic=False`` keeps the single-phase fixed-Huffman step.
+    ``turbo=True`` runs the flagship profile under the mesh: two-phase
+    matcher + Pallas lock-step selection + scatter-free pack, emitting
+    kernel-decodable structure (512 B anchors, 4 KiB resets, 9-bit
+    shared tables); ``with_index=True`` additionally returns the
+    StreamIndex that feeds ``parallel_inflate``.
+
+    **Per-host input feeding** (multi-process runs): pass ``data=None``
+    with ``n_bytes`` (total logical input size) and ``block_provider``
+    — a callable ``(block_idx) -> bytes`` invoked ONLY for the block
+    rows addressable by this process (jax.make_array_from_callback asks
+    each process for its own shards), so no host ever materializes more
+    than ~1/num_processes of the input.  ``multihost.host_shard`` gives
+    the row range a provider must be able to serve.
     """
-    arr = np.frombuffer(bytes(data), dtype=np.uint8)
-    n = arr.size
+    from ..spec.refmodel import BlockInfo, StreamIndex
+
+    if turbo:
+        seg_size, max_code_bits, dynamic = 512, 9, True
+        if block_size % 4096:
+            raise ValueError("turbo needs a 4 KiB-aligned block size")
+    reset = 4096 if turbo else 0
     D = mesh.devices.size
     N = block_size
+    if data is not None:
+        arr = np.frombuffer(bytes(data), dtype=np.uint8)
+        n = arr.size
+
+        def block_provider(i, _arr=arr, _N=N):  # noqa: A001 — default feed
+            return _arr[i * _N : (i + 1) * _N]
+    else:
+        if n_bytes is None or block_provider is None:
+            raise ValueError("data=None requires n_bytes and block_provider")
+        n = n_bytes
     if n == 0:
-        return C.ZLIB_HEADER + b"\x01\x00\x00\xff\xff" + (1).to_bytes(4, "big")
+        out = (C.ZLIB_HEADER + b"\x01\x00\x00\xff\xff"
+               + (1).to_bytes(4, "big"))
+        if with_index:
+            blocks = [BlockInfo(C.BTYPE_STORED, True, 0, 8, 40, 0, 0)]
+            return out, StreamIndex(blocks, np.zeros(0, np.int64),
+                                    np.zeros(0, np.int64),
+                                    np.zeros(0, np.int32)).shifted(16)
+        return out
     nblocks = -(-n // N)
     Bd = -(-nblocks // D)
     DBd = D * Bd
-    blocks = np.zeros((DBd, N + 8), np.uint8)
-    n_valid = np.zeros(DBd, np.int32)
-    for i in range(nblocks):
-        chunk = arr[i * N : (i + 1) * N]
-        blocks[i, : chunk.size] = chunk
-        n_valid[i] = chunk.size
+    # block staging is callback-driven: each process materializes ONLY the
+    # rows jax asks it for (its addressable shards) — per-host memory is
+    # O(input / num_processes), and single-process runs skip the dense
+    # (DBd, N+8) intermediate copy entirely
+    n_valid = np.clip(n - np.arange(DBd, dtype=np.int64) * N, 0, N
+                      ).astype(np.int32)
+
+    def _blocks_cb(idx):
+        rows = range(*idx[0].indices(DBd))
+        out = np.zeros((len(rows), N + 8), np.uint8)
+        for k, i in enumerate(rows):
+            if i < nblocks:
+                chunk = np.frombuffer(bytes(block_provider(i)), np.uint8)
+                out[k, : chunk.size] = chunk
+        return out
+
     W = (15 * N + 4096) // 32
+    nseg = N // seg_size
     sharding = NamedSharding(mesh, P("blocks"))
+    blocks_gl = jax.make_array_from_callback((DBd, N + 8), sharding,
+                                             _blocks_cb)
     from ..codec.deflate_pipeline import (
         _FIXED_D_LEN, _FIXED_LL_LEN, _dynamic_header, _encode_tables,
         _or_bits)
 
+    max_tokens = 0
     if dynamic:
         tv, td, cnt, ll_len_d, d_len_d, adler = sharded_histogram_step(
-            _put(blocks, sharding), _put(n_valid, sharding), jnp.int32(n),
+            blocks_gl, _put(n_valid, sharding), jnp.int32(n),
             jnp.int32(nblocks), mesh=mesh, N=N, SEG_SIZE=seg_size,
-            max_code_bits=max_code_bits,
+            max_code_bits=max_code_bits, reset=reset, turbo=turbo,
         )
         # code lengths were built on device (package-merge inside the
         # histogram dispatch); only the ~50-byte header serialization and
@@ -353,50 +492,100 @@ def parallel_deflate(data: bytes, mesh: Mesh, block_size: int = 32768,
         ll_code, d_code = _encode_tables(ll_len, d_len)
         hdr_bits = np.full(DBd, hb0, np.int32)
         hdr_bits[nblocks - 1] = hb1
-        words, payload_end, _lane_bit0 = sharded_pack_step(
+        from ..config import CodecConfig
+
+        R = CodecConfig.turbo().pack_row_width(seg_size) if turbo else 0
+        words, payload_end, lane_bit0 = sharded_pack_step(
             tv, td, cnt,
             jnp.asarray(ll_code), jnp.asarray(ll_len.astype(np.int32)),
             jnp.asarray(d_code), jnp.asarray(d_len.astype(np.int32)),
-            _put(hdr_bits, sharding), mesh=mesh, N=N, SEG_SIZE=seg_size, W=W,
+            _put(hdr_bits, sharding), mesh=mesh, N=N, SEG_SIZE=seg_size,
+            W=W, R=R,
         )
         headers = {0: (hdr0, hb0), 1: (hdr1, hb1)}
+        if with_index:
+            max_tokens = int(_to_host(cnt).max(initial=0))
     else:
-        words, payload_end, _lane_bit0, adler = sharded_deflate_step(
-            _put(blocks, sharding), _put(n_valid, sharding),
+        words, payload_end, lane_bit0, adler = sharded_deflate_step(
+            blocks_gl, _put(n_valid, sharding),
             jnp.int32(n), mesh=mesh, N=N, SEG_SIZE=seg_size, W=W,
         )
         ll_code, _ = _encode_tables(_FIXED_LL_LEN, _FIXED_D_LEN)
         ll_len = _FIXED_LL_LEN
     words_np = _to_host(words)
     pe = _to_host(payload_end)
+    lane_bit0_np = _to_host(lane_bit0)
 
     eob_code = int(ll_code[C.END_OF_BLOCK])
     eob_len = int(ll_len[C.END_OF_BLOCK])
     parts = []
+    binfos: list = []
+    anchor_bit: list = []
+    anchor_out: list = []
+    anchor_block: list = []
+    stream_bit = 0
     for i in range(nblocks):
         bfinal = 1 if i == nblocks - 1 else 0
         end_bits = int(pe[i])
         nbytes = (end_bits + eob_len + 3 + 7) // 8
         buf = words_np[i].view(np.uint8)[: nbytes + 4].copy()
         if dynamic:
-            hdr, _hb = headers[bfinal]
+            hdr, hb = headers[bfinal]
             hb_arr = np.frombuffer(hdr, dtype=np.uint8)
             buf[: hb_arr.size] |= hb_arr
         else:
             buf[0] |= bfinal | (C.BTYPE_FIXED << 1)
+            hb = 3
         _or_bits(buf, end_bits, eob_code, eob_len)
+        end_bits += eob_len
+        start_bit = stream_bit
+        nb = int(n_valid[i])
+        binfos.append(BlockInfo(
+            C.BTYPE_DYNAMIC if dynamic else C.BTYPE_FIXED, bool(bfinal),
+            start_bit, start_bit + hb, start_bit + end_bits, i * N, nb))
+        for s in range(-(-nb // seg_size)):
+            anchor_bit.append(start_bit + int(lane_bit0_np[i * nseg + s]))
+            anchor_out.append(i * N + s * seg_size)
+            anchor_block.append(len(binfos) - 1)
         if bfinal:
-            parts.append(buf[: (end_bits + eob_len + 7) // 8].tobytes())
+            nby = (end_bits + 7) // 8
+            parts.append(buf[:nby].tobytes())
+            stream_bit += nby * 8
         else:
-            parts.append(buf[: (end_bits + eob_len + 3 + 7) // 8].tobytes()
-                         + b"\x00\x00\xff\xff")
+            sync_start = end_bits
+            nby = (end_bits + 3 + 7) // 8
+            part = buf[:nby].tobytes() + b"\x00\x00\xff\xff"
+            parts.append(part)
+            binfos.append(BlockInfo(
+                C.BTYPE_STORED, False, start_bit + sync_start,
+                start_bit + nby * 8, stream_bit + len(part) * 8,
+                i * N + nb, 0))
+            stream_bit += len(part) * 8
     body = b"".join(parts)
     trailer = int(adler).to_bytes(4, "big")
-    return C.ZLIB_HEADER + body + trailer
+    out = C.ZLIB_HEADER + body + trailer
+    if with_index:
+        index = StreamIndex(
+            binfos,
+            np.asarray(anchor_bit, np.int64),
+            np.asarray(anchor_out, np.int64),
+            np.asarray(anchor_block, np.int32),
+            chunk_reset=reset,
+            turbo=turbo,
+            max_tokens=max_tokens,
+        ).shifted(16)
+        return out, index
+    return out
 
 
 def parallel_inflate(data: bytes, index, mesh: Mesh) -> bytes:
-    """Block-parallel inflate of an indexed stream across the mesh."""
+    """Block-parallel inflate of an indexed stream across the mesh.
+
+    Turbo-profile streams (shared 9-bit tables, 512 B anchors, 4 KiB
+    resets) dispatch to the sharded Pallas lock-step pipeline; other
+    indexed streams use the general XLA decode/resolve kernels."""
+    if getattr(index, "turbo", False):
+        return parallel_inflate_turbo(data, index, mesh)
     from ..codec.inflate_pipeline import (
         _Stream, _block_code_lengths, _bucket, _index_lanes,
     )

@@ -46,10 +46,23 @@ def global_mesh() -> Mesh:
     return Mesh(np.array(jax.devices()), ("blocks",))
 
 
-def host_shard(total_blocks: int) -> tuple[int, int]:
-    """This process's contiguous [start, end) block range for input feeding
-    (addressable-shard convention: block i lives on global device i % D)."""
-    pid = jax.process_index()
-    nproc = jax.process_count()
-    per = -(-total_blocks // nproc)
-    return pid * per, min(total_blocks, (pid + 1) * per)
+def host_shard(total_rows: int) -> tuple[int, int]:
+    """This process's contiguous [start, end) row range of a
+    ``(total_rows, ...)`` array sharded ``P("blocks")`` over the global
+    1-D mesh (``global_mesh()``: process-major device order, equal rows
+    per device).  This is the range a ``block_provider`` passed to
+    ``parallel_deflate`` must be able to serve — jax asks each process
+    only for these rows, so feeding per-host input through it keeps
+    every host's memory at ~1/num_processes of the total input.
+    ``total_rows`` must be a multiple of the device count (the codec
+    pads block batches to D*Bd rows)."""
+    all_devs = jax.devices()
+    D = len(all_devs)
+    if total_rows % D:
+        raise ValueError(f"total_rows {total_rows} not divisible by {D}")
+    per_dev = total_rows // D
+    # position in jax.devices() order (= mesh row order), NOT device.id —
+    # ids are not globally dense across processes
+    pos = sorted(all_devs.index(d) for d in jax.local_devices())
+    assert pos[-1] - pos[0] + 1 == len(pos), "local devices not contiguous"
+    return pos[0] * per_dev, (pos[-1] + 1) * per_dev
