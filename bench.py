@@ -134,7 +134,7 @@ def main() -> None:
     # Pallas lock-step selection, scatter-free pack)
     from zlibes_tpu.codec.deflate_pipeline import _select_turbo_glue
     from zlibes_tpu.ops.lz77 import find_matches
-    from zlibes_tpu.ops.deflate_kernel import pack_payload_fast, token_symbols
+    from zlibes_tpu.ops.deflate_kernel import pack_payload_turbo, token_symbols
     N = cfg.block_size
     nseg = N // cfg.seg_size
     Bp = cfg.blocks_per_dispatch
@@ -180,8 +180,8 @@ def main() -> None:
                                              SEG_SIZE=cfg.seg_size,
                                              lazy=cfg.lazy, split_far=True)
             lsym, dsym, valid, llf, dfq = token_symbols(tv, td, cnt, nseg=nseg)
-            words, pe, lb = pack_payload_fast(tv, td, lsym, dsym, valid, *tabs,
-                                              hdrb, en, nseg=nseg, W=W, R=R)
+            words, pe, lb = pack_payload_turbo(tv, td, valid, *tabs,
+                                               hdrb, en, nseg=nseg, W=W, R=R)
             return c + pe.sum() + llf[0, 0] + words[0, 0].astype(jnp.int32), None
         c, _ = jax.lax.scan(body, jnp.int32(0), blk_stack)
         return c

@@ -130,3 +130,63 @@ def test_select_kernel_matches_xla_path():
                            SEG_SIZE=512, lazy=True, split_far=True)
     for x, y in zip(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pack_payload_turbo_matches_pack_payload_fast():
+    """The Pallas field kernel + sort-placement packer must be bit-exact
+    vs the one-hot reference packer on real tokens (incl. zero-run data)."""
+    import jax.numpy as jnp
+
+    from zlibes_tpu.codec.deflate_pipeline import (_encode_tables,
+                                                   _select_turbo_glue,
+                                                   package_merge_np)
+    from zlibes_tpu.ops.deflate_kernel import (pack_payload_fast,
+                                               pack_payload_turbo,
+                                               token_symbols)
+    from zlibes_tpu.ops.lz77 import find_matches
+    from zlibes_tpu.spec import constants as C
+
+    cfg = CodecConfig.turbo(candidates=4, probe_words=4)
+    N = BS
+    nseg = N // cfg.seg_size
+    Bp = 2
+    data = bytes([4, 255, 255, 255]) + bytes(64) + _mixed_data(2 * N)
+    arr = np.frombuffer(data, np.uint8)
+    blk = np.zeros((Bp, N + 8), np.uint8)
+    nv = np.zeros(Bp, np.int32)
+    for i in range(Bp):
+        c = arr[i * N : (i + 1) * N]
+        blk[i, : c.size] = c
+        nv[i] = c.size
+    m = find_matches(jnp.asarray(blk), jnp.asarray(nv), N=N,
+                     S=cfg.probe_words, J=cfg.candidates,
+                     reset=cfg.chunk_reset, two_phase=True)
+    tv, td, cnt = _select_turbo_glue(jnp.asarray(blk), m, jnp.asarray(nv),
+                                     N=N, SEG_SIZE=cfg.seg_size, lazy=True,
+                                     split_far=True)
+    lsym, dsym, valid, llf, dfq = token_symbols(tv, td, cnt, nseg=nseg)
+    llt = np.asarray(llf).astype(np.int64).sum(0)
+    dft = np.asarray(dfq).astype(np.int64).sum(0)
+    llt[C.END_OF_BLOCK] += 1
+    ll_len = package_merge_np(llt, 9)
+    d_len = package_merge_np(dft, 9)
+    if d_len.max(initial=0) == 0:
+        d_len[0] = 1
+    ll_code, d_code = _encode_tables(ll_len, d_len)
+    d_code = np.pad(d_code, (0, 32 - d_code.size))
+    d_len = np.pad(d_len, (0, 32 - d_len.size))
+    tabs = (jnp.asarray(np.broadcast_to(ll_code, (Bp, 288))),
+            jnp.asarray(np.broadcast_to(ll_len, (Bp, 288))),
+            jnp.asarray(np.broadcast_to(d_code, (Bp, 32))),
+            jnp.asarray(np.broadcast_to(d_len, (Bp, 32))))
+    hdrb = jnp.asarray(np.array([100, 77], np.int32))
+    en = jnp.ones(Bp, bool)
+    W = (15 * N + 4096) // 32
+    R = cfg.pack_row_width()
+    w1, pe1, lb1 = pack_payload_fast(tv, td, lsym, dsym, valid, *tabs,
+                                     hdrb, en, nseg=nseg, W=W, R=R)
+    w2, pe2, lb2 = pack_payload_turbo(tv, td, valid, *tabs,
+                                      hdrb, en, nseg=nseg, W=W, R=R)
+    assert (np.asarray(pe1) == np.asarray(pe2)).all()
+    assert (np.asarray(lb1) == np.asarray(lb2)).all()
+    assert (np.asarray(w1) == np.asarray(w2)).all()

@@ -21,7 +21,7 @@ from zlibes_tpu.codec.deflate_pipeline import (_encode_tables,
                                                package_merge_np)
 from zlibes_tpu.config import CodecConfig
 from zlibes_tpu.ops.deflate_kernel import (pack_payload, pack_payload_fast,
-                                           token_symbols)
+                                           pack_payload_turbo, token_symbols)
 from zlibes_tpu.ops.lz77 import find_matches
 from zlibes_tpu.spec import constants as CC
 
@@ -166,6 +166,16 @@ def main():
             return c + pe.sum() + words[0, 0].astype(jnp.int32), None
         return jax.lax.scan(body, jnp.int32(0), (tvs, tds, lss, dss, vas))[0]
     timeit("pack_fast", run_packf, tv_s, td_s, ls_s, ds_s, va_s)
+
+    # --- pack_turbo (Pallas field kernel + sort placement; production)
+    def run_packt(tvs, tds, vas):
+        def body(c, x):
+            tv, td, va = x
+            words, pe, lb = pack_payload_turbo(
+                tv, td, va, *tabs, hdrb, en, nseg=nseg, W=W, R=R)
+            return c + pe.sum() + words[0, 0].astype(jnp.int32), None
+        return jax.lax.scan(body, jnp.int32(0), (tvs, tds, vas))[0]
+    timeit("pack_turbo", run_packt, tv_s, td_s, va_s)
 
 
 if __name__ == "__main__":

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from ..ops import huffman, lz77
 from ..ops.adler32 import adler32_device
 from ..ops.deflate_kernel import (gather_compressed, pack_payload,
-                                  pack_payload_fast, token_symbols)
+                                  pack_payload_fast, pack_payload_turbo,
+                                  token_symbols)
 from ..ops.lz77 import SEG, find_matches, select_tokens
 from ..spec import constants as C
 from ..spec.refmodel import BitWriter, BlockInfo, StreamIndex, _rle_code_lengths
@@ -334,10 +335,11 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
             hdr_bits_arr[B - 1] = hb1
         with stats.timer("pack"), trace("zlibes.pack"):
             if cfg.max_code_bits <= 9:
-                # turbo: tokens are <=32 coded bits -> scatter-free pack
+                # turbo: tokens are <=32 coded bits, tables stream-wide ->
+                # Pallas field kernel + sort-compacted placement
                 R = cfg.pack_row_width(SEG_SIZE)
-                words, payload_end, lane_bit0 = pack_payload_fast(
-                    tv, td, lsym, dsym, valid,
+                words, payload_end, lane_bit0 = pack_payload_turbo(
+                    tv, td, valid,
                     ll_code_b, ll_len_b, d_code_b, d_len_b,
                     jnp.asarray(hdr_bits_arr), enabled, nseg=nseg, W=W, R=R,
                 )

@@ -344,6 +344,102 @@ def pack_payload_fast(
     return words.reshape(B, W), payload_end, lane_bit0
 
 
+@partial(jax.jit, static_argnames=("nseg", "W", "R"))
+def pack_payload_turbo(
+    toks_val: jax.Array,    # int32 (L, T)
+    toks_dist: jax.Array,   # int32 (L, T)
+    valid: jax.Array,       # bool (L, T)
+    ll_code: jax.Array,     # uint32 (B, 288) bit-reversed codes (LSB-first)
+    ll_len: jax.Array,      # int32 (B, 288)
+    d_code: jax.Array,      # uint32 (B, 32)
+    d_len: jax.Array,       # int32 (B, 32)
+    hdr_bits: jax.Array,    # int32 (B,)
+    enabled: jax.Array,     # bool (B,)
+    nseg: int,
+    W: int,                 # u32 words per block buffer
+    R: int,                 # u32 words per lane row (>= max lane bits/32 + 2)
+):
+    """Shared-table payload packing (turbo profile): Pallas field kernel +
+    sort-compacted word placement.
+
+    Replaces pack_payload_fast's two (tokens × alphabet) one-hot matmul
+    lookups with banked vreg gathers (ops/encode_kernel.py) and its
+    (L, T, R) one-hot placement matmul with a 3-operand per-lane sort:
+    tokens' word indices advance by ≤1 (every coded token fits 32 bits,
+    CodecConfig.turbo()'s split_far contract), so each word owns exactly
+    one run-end token and compacting run-ends by word index IS the word
+    buffer.  Symbol mapping happens in-kernel — no lsym/dsym inputs.
+
+    Same contract as pack_payload: (words (B, W), payload_end (B,),
+    lane_bit0 (L,)).
+    """
+    from .encode_kernel import encode_fields, pack_tables
+
+    L, T = toks_val.shape
+    B = L // nseg
+    assert (L * T) % 128 == 0
+
+    lt_pack, dt_pack = pack_tables(ll_code, ll_len, d_code, d_len)
+    en_i = valid.astype(jnp.int32)
+    NR = L * T // 128
+    val2, nb2 = encode_fields(
+        toks_val.reshape(NR, 128), toks_dist.reshape(NR, 128),
+        en_i.reshape(NR, 128), lt_pack, dt_pack)
+    val = val2.reshape(L, T).astype(jnp.uint32)
+    tb = jnp.where(valid, nb2.reshape(L, T), 0)
+
+    # bit offsets (identical bookkeeping to pack_payload)
+    lane_tot = jnp.sum(tb, axis=1)
+    lane_cum = jnp.cumsum(lane_tot) - lane_tot
+    lane_id = jnp.arange(L, dtype=jnp.int32)
+    blk_first = (lane_id // nseg) * nseg
+    lane_base = lane_cum - lane_cum[blk_first]
+    within = jnp.cumsum(tb, axis=1) - tb
+    blk1 = lane_id // nseg
+    lane_bit0 = lane_base + hdr_bits[blk1]
+    payload_end = jnp.zeros(B, jnp.int32).at[blk1].add(lane_tot) + hdr_bits
+
+    blk2 = jax.lax.broadcasted_iota(jnp.int32, (L, T), 0) // nseg
+    en = enabled[blk2] & valid & (tb > 0)
+    lane_word0 = lane_bit0 >> 5
+    rel = within + (lane_bit0 & 31)[:, None]     # bit offset within lane row
+    BIG = jnp.int32(0x3FFFFFFF)
+    dw = jnp.where(en, rel >> 5, BIG)            # word slot; BIG = inactive
+    sh = (rel & 31).astype(jnp.uint32)
+    c0 = jnp.where(en, val << sh, 0)
+    c1 = jnp.where(en, (val >> (jnp.uint32(31) - sh)) >> 1, 0)
+
+    first = dw > jnp.pad(dw, ((0, 0), (1, 0)), constant_values=-1)[:, :T]
+    acc = _seg_or_scan(c0, first)
+    dw_next = jnp.pad(dw, ((0, 0), (0, 1)), constant_values=1 << 30)[:, 1:]
+    is_end = (dw_next > dw) & en
+
+    # compact run-end (acc, carry) pairs to their word slots: dw is
+    # nondecreasing with steps ∈ {0, 1}, so run-end tokens' dw values are
+    # exactly 0..nwords-1 — a stable sort by (is_end ? dw : BIG) places
+    # word w's value in column w
+    key = jnp.where(is_end, dw, BIG)
+    skey, sacc, sc1 = jax.lax.sort((key, acc, c1), dimension=1,
+                                   is_stable=False, num_keys=1)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (L, R), 1)
+    ok = skey[:, :R] == iota_r                   # self-validating mask
+    main = jnp.where(ok, sacc[:, :R], 0)
+    carry = jnp.where(ok, sc1[:, :R], 0)
+    rows = main | jnp.pad(carry, ((0, 0), (1, 0)))[:, :R]
+
+    # splice lane rows into block buffers (single-word overlaps at lane
+    # boundaries are disjoint-bit, so add == or)
+    lane_en = enabled[blk1]
+    OOB = B * W
+    base = jnp.where(lane_en, blk1 * W + lane_word0, OOB)
+    idx = base[:, None] + jax.lax.broadcasted_iota(jnp.int32, (L, R), 1)
+    idx = jnp.where(idx < (blk1 * W + W)[:, None], idx, OOB)
+    words = jnp.zeros(B * W + 1, jnp.uint32).at[idx.reshape(-1)].add(
+        rows.reshape(-1), mode="drop")[: B * W]
+
+    return words.reshape(B, W), payload_end, lane_bit0
+
+
 @jax.jit
 def gather_compressed(words_flat: jax.Array, idx: jax.Array) -> jax.Array:
     """Compact per-block word buffers into one dense array for download."""

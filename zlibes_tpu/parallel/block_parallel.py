@@ -33,7 +33,8 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..ops.adler32 import _M, _modsum, _mulmod
-from ..ops.deflate_kernel import pack_payload, pack_payload_fast, token_symbols
+from ..ops.deflate_kernel import (pack_payload, pack_payload_turbo,
+                                  token_symbols)
 from ..ops.inflate_kernel import decode_tokens, resolve_global
 from ..ops.lz77 import find_matches, select_tokens
 from ..spec import constants as C
@@ -215,9 +216,9 @@ def sharded_pack_step(
 ):
     """Phase 2: bit-pack every device's token shard with the shared codes.
 
-    ``R > 0`` routes through ``pack_payload_fast`` (the turbo scatter-free
-    packer; requires <=32-bit tokens, i.e. a 9-bit-capped shared table and
-    split far matches)."""
+    ``R > 0`` routes through ``pack_payload_turbo`` (the Pallas field
+    kernel + sort-placement packer; requires <=32-bit tokens, i.e. a
+    9-bit-capped shared table and split far matches)."""
     DBd = cnt.shape[0] // (N // SEG_SIZE)
     D = mesh.devices.size
     Bd = DBd // D
@@ -231,8 +232,8 @@ def sharded_pack_step(
         dl = jnp.broadcast_to(d_len, (Bd, d_len.size))
         en = jnp.ones(Bd, bool)
         if R:
-            return pack_payload_fast(tv, td, lsym, dsym, valid, llc, lll,
-                                     dc, dl, hdrb, en, nseg=nseg, W=W, R=R)
+            return pack_payload_turbo(tv, td, valid, llc, lll,
+                                      dc, dl, hdrb, en, nseg=nseg, W=W, R=R)
         return pack_payload(tv, td, lsym, dsym, valid, llc, lll, dc, dl,
                             hdrb, en, nseg=nseg, W=W)
 
