@@ -94,7 +94,7 @@ def main() -> None:
     stack = jnp.asarray(np.stack([words_np] * K))  # distinct buffer
 
     @jax.jit
-    def run_inflate(stack, starts_w, shift_idx, bit0, endb, lt, dt):
+    def run_inflate(stack, starts_w, shift_idx, bit0, endb, base, lt, dt):
         def body(c, words):
             fetched = tk.extract_lanes(words, starts_w)
             lanes = tk.shift_lanes(fetched, shift_idx, LB=plan.LB)
@@ -103,9 +103,9 @@ def main() -> None:
                                      LB=plan.LB)
             tokens = tb._from_grid(tg, LB=plan.LB)
             meta = tb._from_grid(mg, LB=plan.LB)
-            t8, s8 = tb._glue_tokens(tokens, meta[0], T=plan.T,
-                                     C_pad=plan.C_pad)
-            rows = tk.resolve_turbo(t8, s8)
+            t16, s16 = tb._glue_tokens(tokens, meta[0], base, T=plan.T,
+                                       C_pad=plan.C_pad)
+            rows = tk.resolve_turbo(t16, s16)
             flat = rows.reshape(-1)[: plan.total_out]
             adler = adler32_device(flat, plan.total_out)
             return c + adler.astype(jnp.int32) + meta[2].sum(), None
@@ -113,7 +113,7 @@ def main() -> None:
         return c
 
     args = (stack, plan.starts_w, plan.shift_idx, plan.bit0, plan.endb,
-            plan.lt, plan.dt)
+            plan.base, plan.lt, plan.dt)
     t0 = time.perf_counter()
     _sync(run_inflate(*args))
     _log(f"inflate compile+first: {time.perf_counter()-t0:.0f}s")
@@ -180,8 +180,8 @@ def main() -> None:
                                              SEG_SIZE=cfg.seg_size,
                                              lazy=cfg.lazy, split_far=True)
             lsym, dsym, valid, llf, dfq = token_symbols(tv, td, cnt, nseg=nseg)
-            words, pe, lb = pack_payload_turbo(tv, td, valid, *tabs,
-                                               hdrb, en, nseg=nseg, W=W, R=R)
+            words, pe, lb, _sb, _so = pack_payload_turbo(
+                tv, td, valid, *tabs, hdrb, en, nseg=nseg, W=W, R=R)
             return c + pe.sum() + llf[0, 0] + words[0, 0].astype(jnp.int32), None
         c, _ = jax.lax.scan(body, jnp.int32(0), blk_stack)
         return c

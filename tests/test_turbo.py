@@ -39,8 +39,15 @@ def test_turbo_stream_is_conformant(turbo_stream):
     data, comp, index = turbo_stream
     assert zlib.decompress(comp) == data
     assert index.turbo
-    assert np.array_equal(index.anchor_out,
-                          np.arange(index.anchor_bit.size) * 512)
+    # paired anchors: segment starts every 512 B interleaved with the
+    # mid-segment split anchor (first token starting at-or-after byte 256)
+    ao = index.anchor_out
+    assert ao.size % 2 == 0
+    spans = np.arange(ao.size // 2) * 512
+    assert np.array_equal(ao[0::2], spans)
+    assert (ao[1::2] >= spans).all() and (ao[1::2] <= spans + 512).all()
+    assert (ao[1::2][:-1] >= spans[:-1] + 256).all()  # full segments
+    assert (np.diff(index.anchor_bit) >= 0).all()
 
 
 def test_turbo_inflate_roundtrip(turbo_stream):
@@ -185,8 +192,8 @@ def test_pack_payload_turbo_matches_pack_payload_fast():
     R = cfg.pack_row_width()
     w1, pe1, lb1 = pack_payload_fast(tv, td, lsym, dsym, valid, *tabs,
                                      hdrb, en, nseg=nseg, W=W, R=R)
-    w2, pe2, lb2 = pack_payload_turbo(tv, td, valid, *tabs,
-                                      hdrb, en, nseg=nseg, W=W, R=R)
+    w2, pe2, lb2, _sb, _so = pack_payload_turbo(tv, td, valid, *tabs,
+                                                hdrb, en, nseg=nseg, W=W, R=R)
     assert (np.asarray(pe1) == np.asarray(pe2)).all()
     assert (np.asarray(lb1) == np.asarray(lb2)).all()
     assert (np.asarray(w1) == np.asarray(w2)).all()

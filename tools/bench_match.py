@@ -48,9 +48,12 @@ def main():
     def _null(x):
         return x + 1
     _sync(_null(jnp.int32(0)))
-    t0 = time.perf_counter()
-    _sync(_null(jnp.int32(1)))
-    rpc = time.perf_counter() - t0
+    samples = []
+    for k in range(5):  # median of several dispatches (ADVICE r2)
+        t0 = time.perf_counter()
+        _sync(_null(jnp.int32(k)))
+        samples.append(time.perf_counter() - t0)
+    rpc = float(np.median(samples))
     print(f"rpc floor {rpc*1e3:.1f} ms", file=sys.stderr)
 
     variants = [(16, 16, 4096, True), (8, 16, 4096, True),

@@ -171,7 +171,7 @@ def main():
     def run_packt(tvs, tds, vas):
         def body(c, x):
             tv, td, va = x
-            words, pe, lb = pack_payload_turbo(
+            words, pe, lb, _sb, _so = pack_payload_turbo(
                 tv, td, va, *tabs, hdrb, en, nseg=nseg, W=W, R=R)
             return c + pe.sum() + words[0, 0].astype(jnp.int32), None
         return jax.lax.scan(body, jnp.int32(0), (tvs, tds, vas))[0]

@@ -333,16 +333,21 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
         hdr_bits_arr = np.full(Bp, hb0, np.int32)
         if d1 == nblocks:
             hdr_bits_arr[B - 1] = hb1
+        split_bit_np = split_out_np = None
         with stats.timer("pack"), trace("zlibes.pack"):
             if cfg.max_code_bits <= 9:
                 # turbo: tokens are <=32 coded bits, tables stream-wide ->
                 # Pallas field kernel + sort-compacted placement
                 R = cfg.pack_row_width(SEG_SIZE)
-                words, payload_end, lane_bit0 = pack_payload_turbo(
-                    tv, td, valid,
-                    ll_code_b, ll_len_b, d_code_b, d_len_b,
-                    jnp.asarray(hdr_bits_arr), enabled, nseg=nseg, W=W, R=R,
-                )
+                words, payload_end, lane_bit0, split_bit, split_out = \
+                    pack_payload_turbo(
+                        tv, td, valid,
+                        ll_code_b, ll_len_b, d_code_b, d_len_b,
+                        jnp.asarray(hdr_bits_arr), enabled, nseg=nseg,
+                        W=W, R=R,
+                    )
+                split_bit_np = np.asarray(split_bit)
+                split_out_np = np.asarray(split_out)
             else:
                 words, payload_end, lane_bit0 = pack_payload(
                     tv, td, lsym, dsym, valid,
@@ -379,8 +384,23 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
                 C.BTYPE_DYNAMIC, bool(bfinal), start_bit,
                 start_bit + hdr_bits, start_bit + end_bits, out_start, nb))
             for s in range(-(-nb // SEG_SIZE)):
-                anchor_bit.append(start_bit + int(lane_bit0_np[i * nseg + s]))
+                lane = i * nseg + s
+                lb = int(lane_bit0_np[lane])
+                anchor_bit.append(start_bit + lb)
                 anchor_out.append(out_start + s * SEG_SIZE)
+                anchor_block.append(len(blocks) - 1)
+                if split_bit_np is None:
+                    continue
+                # mid-segment split anchor (paired decode lanes); when no
+                # token starts at-or-after SUB, the split is the lane end
+                # (empty second half-lane)
+                lane_end = (int(lane_bit0_np[lane + 1]) if s + 1 < nseg
+                            else int(payload_end_np[i]))
+                sb, so = int(split_bit_np[lane]), int(split_out_np[lane])
+                if sb >= 1 << 30:
+                    sb, so = lane_end - lb, min(nb - s * SEG_SIZE, SEG_SIZE)
+                anchor_bit.append(start_bit + lb + sb)
+                anchor_out.append(out_start + s * SEG_SIZE + so)
                 anchor_block.append(len(blocks) - 1)
             if bfinal:
                 nbytes = (end_bits + 7) // 8

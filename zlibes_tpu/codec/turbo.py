@@ -28,37 +28,72 @@ def _bucket(n: int, lo: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("T", "C_pad"))
-def _glue_tokens(tokens: jax.Array,  # (T, L) int32 packed
+def _glue_tokens(tokens: jax.Array,  # (T, L) int32 packed, L = paired lanes
                  counts: jax.Array,  # (L,) int32
+                 base: jax.Array,    # (L,) int32 within-SEG_SPAN offset of
+                                     # each lane's first token (0 for even
+                                     # lanes; the recorded split offset,
+                                     # in [SUB, SEG_SPAN], for odd lanes)
                  T: int, C_pad: int):
-    """Token post-pass: per-token start offsets + resolve-layout reshape.
+    """Token post-pass: start offsets + paired resolve-layout reshape.
 
-    Returns (toks8, starts8): (SUBS_PER_CHUNK, C_pad, TOKENS_PAD) int32
+    Decode lanes come in pairs covering one SEG_SPAN-byte selection
+    segment, split at the first token starting at-or-after byte SUB.
+    Lane 2s feeds resolve sub-span 2s directly (all its tokens start in
+    [0, SUB)); lane 2s+1 feeds sub-span 2s+1 with starts rebased by -SUB,
+    prefixed by the *crossing token* — the even lane's token that straddles
+    the SUB boundary, re-emitted with a negative start so the resolve
+    bisection finds it for the odd sub-span's first bytes.  The slot is
+    inserted ONLY when a token actually crosses: a crossing token covers
+    ≥ 1 byte of the sub-span, keeping every 128-byte resolve tile's
+    covering tokens within one 128-slot bisection window (a dead slot 0
+    would push an all-literal tile's cover to 129 slots).
+
+    Returns (toks16, starts16): (SUBS_PER_CHUNK, C_pad, TOKENS_PAD) int32
     with invalid slots carrying start 2048 (past any in-span position).
     """
     L = tokens.shape[1]
+    nsp = L // 2
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, L), 0)
     valid = iota_t < counts[None, :]
     ism = (tokens & tk.TOK_MATCH_BIT) != 0
     val = tokens & tk.TOK_VAL_MASK
     lens = jnp.where(valid, jnp.where(ism, val, 1), 0)
     ends = jnp.cumsum(lens, axis=0)
-    starts = jnp.where(valid, ends - lens, 2048)
+    starts = jnp.where(valid, base[None, :] + ends - lens, 2048)
+    toks = jnp.where(valid, tokens, 0)
+
+    t3 = toks.T.reshape(nsp, 2, T)
+    s3 = starts.T.reshape(nsp, 2, T)
+    l3 = lens.T.reshape(nsp, 2, T)
+    even_t, odd_t = t3[:, 0], t3[:, 1]
+    even_s, odd_s = s3[:, 0], s3[:, 1] - tk.SUB
+    # crossing token of each segment (at most one; sum = select)
+    cross = (s3[:, 0] < tk.SUB) & (s3[:, 0] + l3[:, 0] > tk.SUB) \
+        & (l3[:, 0] > 0)
+    has_cross = jnp.any(cross, axis=1)
+    cross_t = jnp.sum(jnp.where(cross, even_t, 0), axis=1)
+    cross_s = jnp.sum(jnp.where(cross, even_s, 0), axis=1) - tk.SUB
 
     spc = tk.SUBS_PER_CHUNK
+    pe = tk.TOKENS_PAD - T
 
-    def relayout(x, fill):
-        x = x.T  # (L, T)
-        pad = tk.TOKENS_PAD - T
-        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill)
-        x = x.reshape(C_pad, spc, tk.TOKENS_PAD)
-        return jnp.transpose(x, (1, 0, 2))
-    return relayout(jnp.where(valid, tokens, 0), 0), relayout(starts, 2048)
+    def relayout(ev, od, slot0, fill):
+        ev = jnp.pad(ev, ((0, 0), (0, pe)), constant_values=fill)
+        od = jnp.pad(od, ((0, 0), (0, pe)), constant_values=fill)
+        od_shift = jnp.concatenate([slot0[:, None], od[:, :-1]], axis=1)
+        od = jnp.where(has_cross[:, None], od_shift, od)
+        rows = jnp.stack([ev, od], axis=1).reshape(2 * nsp, tk.TOKENS_PAD)
+        return jnp.transpose(rows.reshape(C_pad, spc, tk.TOKENS_PAD),
+                             (1, 0, 2))
+    return (relayout(even_t, odd_t, cross_t, 0),
+            relayout(even_s, odd_s, cross_s, 2048))
 
 
 def _lane_spans(index: StreamIndex):
-    """Per-anchor (bit0, end_bit) absolute spans; anchors are dense every
-    SUB bytes of output (turbo profile)."""
+    """Per-anchor (bit0, end_bit) absolute spans; turbo anchors come in
+    pairs per SEG_SPAN bytes of output (segment start + mid-segment
+    split)."""
     na = index.anchor_bit.size
     bit0 = index.anchor_bit.astype(np.int64)
     blk = index.anchor_block.astype(np.int64)
@@ -107,7 +142,7 @@ class TurboPlan:
     """Host-prepared device arrays for one turbo stream (reusable)."""
 
     __slots__ = ("words", "starts_w", "shift_idx", "bit0", "endb", "lt", "dt",
-                 "L", "L_pad", "C_pad", "T", "LB", "total_out",
+                 "base", "L", "L_pad", "C_pad", "T", "LB", "total_out",
                  "lane_end_check")
 
     @staticmethod
@@ -132,10 +167,17 @@ class TurboPlan:
 
         bit0_abs, end_abs = _lane_spans(index)
         L = bit0_abs.size
-        if not np.array_equal(index.anchor_out,
-                              np.arange(L, dtype=np.int64) * SUB):
+        spans = L // 2
+        seg = tk.SEG_SPAN
+        base_rel = index.anchor_out - (np.arange(L, dtype=np.int64) // 2) * seg
+        if (L % 2 or not np.array_equal(base_rel[0::2],
+                                        np.zeros(spans, np.int64))
+                or (base_rel[1::2] < 0).any()
+                or (base_rel[1::2] > seg).any()):
             raise CorruptError(
-                f"turbo anchors must tile output every {SUB} B")
+                f"turbo anchors must pair every {seg} B of output with a "
+                f"mid-segment split anchor (split < {tk.SUB} only for a "
+                f"short final segment, where the second lane is empty)")
         # lanes start at a 128-word-aligned block (DMA extraction); the
         # word-granular residue is dropped by shift_lanes, the sub-word
         # bits live in bit0
@@ -152,11 +194,10 @@ class TurboPlan:
         p.L_pad = max(_bucket(L, lane_block), min_lanes)
         p.C_pad = p.L_pad // tk.SUBS_PER_CHUNK
         p.total_out = index.total_out
-        mt = int(getattr(index, "max_tokens", 0)) or tk.MAX_TOKENS
-        p.T = tk.MAX_TOKENS if mt + 2 > 272 else 272
+        p.T = tk.MAX_TOKENS
 
         raw = np.frombuffer(data, np.uint8)
-        npad = (-raw.size) % 512 + 4 * (tk.STREAM_WORDS + 128)
+        npad = (-raw.size) % 512 + 4 * (tk.FETCH_WORDS + 128)
         words = np.concatenate([raw, np.zeros(npad, np.uint8)]).view("<u4")
         nb = _bucket(-(-words.size // 128), 32)
         blocks = np.zeros((nb, 128), np.int32)
@@ -172,6 +213,10 @@ class TurboPlan:
         p.bit0 = jnp.asarray(_lane_grid(bit0_in, p.L_pad, lane_block))
         p.endb = jnp.asarray(_lane_grid(endb_in, p.L_pad, lane_block))
         p.lane_end_check = endb_in
+        br = np.zeros(p.L_pad, np.int32)
+        br[:L] = base_rel.astype(np.int32)
+        br[1::2][br[1::2] == 0] = tk.SUB  # padded odd lanes: empty B half
+        p.base = jnp.asarray(br)
         p.lt = jnp.asarray(lt)
         p.dt = jnp.asarray(dt)
         return p
@@ -200,9 +245,9 @@ def run_turbo(plan: TurboPlan, check: bool = True):
     meta = _from_grid(meta_g, LB=plan.LB)
     if check:
         plan.check_meta(np.asarray(meta))
-    toks8, starts8 = _glue_tokens(tokens, meta[0], T=plan.T,
-                                  C_pad=plan.C_pad)
-    return tk.resolve_turbo(toks8, starts8)
+    toks16, starts16 = _glue_tokens(tokens, meta[0], plan.base, T=plan.T,
+                                    C_pad=plan.C_pad)
+    return tk.resolve_turbo(toks16, starts16)
 
 
 def inflate_raw_turbo(data: bytes, index: StreamIndex,

@@ -370,8 +370,13 @@ def pack_payload_turbo(
     one run-end token and compacting run-ends by word index IS the word
     buffer.  Symbol mapping happens in-kernel — no lsym/dsym inputs.
 
-    Same contract as pack_payload: (words (B, W), payload_end (B,),
-    lane_bit0 (L,)).
+    Returns (words (B, W), payload_end (B,), lane_bit0 (L,),
+    split_bit (L,), split_out (L,)): the last two are the mid-segment
+    anchor split — bit/output offsets (relative to the lane's first token)
+    of the first token starting at-or-after output byte SUB of the lane,
+    2^30 when every token starts earlier (the caller anchors the split at
+    the lane end).  They pair each SEG-byte lane into two decode lanes for
+    the lock-step inflate kernel (ops/turbo_kernel.py: SUB/SEG_SPAN).
     """
     from .encode_kernel import encode_fields, pack_tables
 
@@ -398,6 +403,15 @@ def pack_payload_turbo(
     blk1 = lane_id // nseg
     lane_bit0 = lane_base + hdr_bits[blk1]
     payload_end = jnp.zeros(B, jnp.int32).at[blk1].add(lane_tot) + hdr_bits
+
+    # mid-segment anchor split: first token whose output start >= SUB
+    from .turbo_kernel import SUB as _SUB
+    adv = jnp.where(valid, jnp.where(toks_dist > 0, toks_val, 1), 0)
+    wout = jnp.cumsum(adv, axis=1) - adv
+    cond = wout >= _SUB           # monotone along T (wout nondecreasing)
+    BIGS = jnp.int32(1 << 30)
+    split_bit = jnp.min(jnp.where(cond, within, BIGS), axis=1)
+    split_out = jnp.min(jnp.where(cond, wout, BIGS), axis=1)
 
     blk2 = jax.lax.broadcasted_iota(jnp.int32, (L, T), 0) // nseg
     en = enabled[blk2] & valid & (tb > 0)
@@ -437,7 +451,7 @@ def pack_payload_turbo(
     words = jnp.zeros(B * W + 1, jnp.uint32).at[idx.reshape(-1)].add(
         rows.reshape(-1), mode="drop")[: B * W]
 
-    return words.reshape(B, W), payload_end, lane_bit0
+    return words.reshape(B, W), payload_end, lane_bit0, split_bit, split_out
 
 
 @jax.jit

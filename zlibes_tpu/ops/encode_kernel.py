@@ -114,9 +114,11 @@ def encode_fields(tv2: jax.Array,   # (NR, 128) int32 token values
                   dt_pack: jax.Array):  # (ENC_BL, D_PAD) int32
     """Coded (value, nbits) per token; rows are 128-token tiles."""
     NR = tv2.shape[0]
-    assert NR % ENC_BL == 0
-    grid = (NR // ENC_BL,)
-    tok_spec = pl.BlockSpec((ENC_BL, 128), lambda i: (i, 0),
+    BL = ENC_BL
+    while NR % BL:  # small dispatches (sharded lanes): shrink the tile rows
+        BL //= 2
+    grid = (NR // BL,)
+    tok_spec = pl.BlockSpec((BL, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _encfields_kernel,
@@ -124,9 +126,9 @@ def encode_fields(tv2: jax.Array,   # (NR, 128) int32 token values
         out_shape=(jax.ShapeDtypeStruct((NR, 128), jnp.int32),
                    jax.ShapeDtypeStruct((NR, 128), jnp.int32)),
         in_specs=[
-            pl.BlockSpec((ENC_BL, LL_PAD), lambda i: (0, 0),
+            pl.BlockSpec((BL, LL_PAD), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ENC_BL, D_PAD), lambda i: (0, 0),
+            pl.BlockSpec((BL, D_PAD), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             tok_spec, tok_spec, tok_spec,
         ],

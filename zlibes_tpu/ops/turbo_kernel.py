@@ -51,22 +51,31 @@ from . import huffman
 # table width: turbo streams cap code lengths at 9 bits
 M_BITS = 9
 TABLE = 1 << M_BITS
-# output bytes per decode lane (sub-chunk span; anchors every SUB bytes)
-SUB = 512
+# output bytes per SELECTION segment (one anchor PAIR per SEG_SPAN: the
+# encoder records a second anchor at the first token starting at-or-after
+# byte SUB of the segment, so every decode lane covers roughly half a
+# segment — see pack_payload_turbo's anchor-split outputs)
+SEG_SPAN = 512
+# output bytes per resolve sub-span; decode lane l feeds sub-span l (the
+# token crossing the mid-segment boundary is duplicated into the odd
+# sub-span's slot 0 with a negative start — see _glue_tokens in turbo.py)
+SUB = 256
 SUBS_PER_CHUNK = 4096 // SUB
 # decode lanes per kernel invocation
 LANE_BLOCK = 1024
-# stream words per decode lane: the worst-case span of ceil(SUB/3) 33-bit
-# match tokens (5632 bits = 176 words) + sub-word bit offset + buffer
-# lookahead.  Extraction DMAs three 128-word-aligned blocks per lane and a
-# fused shift pass drops the (<=127-word) alignment residue.
-STREAM_WORDS = 256
+# stream words per decode lane.  A lane's tokens all start within one
+# SUB-byte half-segment, so ≤ SUB of them, and a (match, literal) mix
+# maximizing coded bits yields ≤ 86·32 + slack ≈ 2790 bits; + the ≤31-bit
+# sub-word start offset + 2 words of refill lookahead → 91, padded to 96.
+# Extraction DMAs two 128-word-aligned blocks per lane (residue ≤ 127
+# words + 91 ≤ 218 < 256) and a fused shift pass drops the residue.
+STREAM_WORDS = 96
 # words per lane fetched by the DMA extraction pass (pre-shift)
-FETCH_WORDS = 384
-# max tokens per sub-chunk lane (SUB literals) + slack
-MAX_TOKENS = 528
-# token-array width in the resolve kernel (multiple of 128 >= MAX_TOKENS)
-TOKENS_PAD = 640
+FETCH_WORDS = 256
+# max tokens per decode lane: ≤ SUB+1 starters (+ the crossing token) + slack
+MAX_TOKENS = 272
+# token-array width in the resolve kernel (>= MAX_TOKENS + 1 cross slot)
+TOKENS_PAD = 384
 # chunk rows per resolve kernel invocation
 CHUNK_BLOCK = 128
 
@@ -147,20 +156,21 @@ def turbo_decode_tables(ll_len: np.ndarray, d_len: np.ndarray):
 # lane start indices are scalar-prefetched and drive the BlockSpec index
 # maps directly, turning the whole stage into pipelined 512-byte DMAs.
 
-def _extract_kernel(A_ref, *refs):
+def _extract_kernel(A_ref, *refs, nfetch: int):
     out_ref = refs[-1]
     for j in range(8):
-        for m in range(3):
-            out_ref[j, m * 128 : (m + 1) * 128] = refs[j * 3 + m][0, 0]
+        for m in range(nfetch):
+            out_ref[j, m * 128 : (m + 1) * 128] = refs[j * nfetch + m][0, 0]
 
 
-@jax.jit
-def extract_lanes(blocks128: jax.Array, A: jax.Array):
-    """Gather each lane's 3 aligned 128-word blocks into its fetch row.
+@partial(jax.jit, static_argnames=("nfetch",))
+def extract_lanes(blocks128: jax.Array, A: jax.Array,
+                  nfetch: int = FETCH_WORDS // 128):
+    """Gather each lane's aligned 128-word blocks into its fetch row.
 
     blocks128: (NB, 128) int32 — the padded stream as aligned word blocks
     A: (L,) int32 — per-lane first block index (starts_w >> 7)
-    Returns (L, FETCH_WORDS) int32 rows (alignment residue still present;
+    Returns (L, nfetch*128) int32 rows (alignment residue still present;
     shift_lanes removes it).
     """
     L = A.shape[0]
@@ -172,29 +182,31 @@ def extract_lanes(blocks128: jax.Array, A: jax.Array):
                      (lambda i, A_ref, j=j, m=m:
                       (A_ref[i * 8 + j] + m, 0, 0)),
                      memory_space=pltpu.VMEM)
-        for j in range(8) for m in range(3)
+        for j in range(8) for m in range(nfetch)
     ]
     return pl.pallas_call(
-        _extract_kernel,
+        partial(_extract_kernel, nfetch=nfetch),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((8, FETCH_WORDS), lambda i, A_ref: (i, 0),
+            out_specs=pl.BlockSpec((8, nfetch * 128),
+                                   lambda i, A_ref: (i, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((L, FETCH_WORDS), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((L, nfetch * 128), jnp.int32),
         compiler_params=_params(),
         interpret=_interpret(),
-    )(A, *([blocks3d] * 24))
+    )(A, *([blocks3d] * (8 * nfetch)))
 
 
 def _shift_kernel(rows_ref, idx_ref, out_ref):
     rows = rows_ref[:]
     idx0 = idx_ref[:]                     # (LB, 128): residue + iota
-    nb_in = FETCH_WORDS // 128
-    for b in range(STREAM_WORDS // 128):
-        idx = idx0 + b * 128              # in [0, FETCH_WORDS)
+    nb_in = rows_ref.shape[1] // 128
+    nb_out = -(-out_ref.shape[1] // 128)
+    for b in range(nb_out):
+        idx = idx0 + b * 128              # in [0, fetch words)
         lob = idx & 127
         hib = idx >> 7
         out = jnp.zeros_like(idx)
@@ -202,17 +214,19 @@ def _shift_kernel(rows_ref, idx_ref, out_ref):
             g = jnp.take_along_axis(rows[:, m * 128 : (m + 1) * 128],
                                     lob, axis=1)
             out = jnp.where(hib == m, g, out)
-        out_ref[:, b * 128 : (b + 1) * 128] = out
+        w = min(128, out_ref.shape[1] - b * 128)
+        out_ref[:, b * 128 : b * 128 + w] = out[:, :w]
 
 
-@partial(jax.jit, static_argnames=("LB",))
-def shift_lanes(rows: jax.Array,    # (L, FETCH_WORDS) int32
+@partial(jax.jit, static_argnames=("LB", "SW"))
+def shift_lanes(rows: jax.Array,    # (L, fetch words) int32
                 idx0: jax.Array,    # (L, 128) int32: per-lane residue + iota
-                LB: int = LANE_BLOCK):
+                LB: int = LANE_BLOCK,
+                SW: int = STREAM_WORDS):
     """Drop each lane's alignment residue: out[l, w] = rows[l, r_l + w].
 
     idx0[l, j] = r_l + j (precomputed densely in XLA), so each output bank
-    is three bank gathers + selects — a few microseconds for all lanes.
+    is a handful of bank gathers + selects — microseconds for all lanes.
     """
     L = rows.shape[0]
     assert L % LB == 0
@@ -220,14 +234,14 @@ def shift_lanes(rows: jax.Array,    # (L, FETCH_WORDS) int32
     return pl.pallas_call(
         _shift_kernel,
         grid=grid,
-        out_shape=jax.ShapeDtypeStruct((L, STREAM_WORDS), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((L, SW), jnp.int32),
         in_specs=[
-            pl.BlockSpec((LB, FETCH_WORDS), lambda i: (i, 0),
+            pl.BlockSpec((LB, rows.shape[1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((LB, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((LB, STREAM_WORDS), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((LB, SW), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=_params(),
         interpret=_interpret(),
@@ -534,12 +548,16 @@ def resolve_turbo(toks: jax.Array,    # (SUBS_PER_CHUNK, C, TOKENS_PAD) int32
     """Expand per-sub-lane token streams into 4 KiB chunk rows.
 
     starts are per-token output offsets within the owning SUB-byte sub-lane
-    span (0..SUB-1); padded/invalid slots must carry start 2048.
-    ``CB`` = chunk rows per kernel invocation (must divide C; smaller
+    span (0..SUB-1); padded/invalid slots must carry start 2048; the odd
+    sub-spans' slot 0 holds the mid-segment crossing token with a negative
+    start (or a never-selected (-SUB, literal 0) sentinel).
+    ``CB`` = chunk rows per kernel invocation (clamped to divide C; smaller
     values let per-device shards of a mesh-sharded inflate stay under the
     grid-divisibility constraint).  Returns (C, 4096) uint8.
     """
     _, Cp, TP = toks.shape
+    while Cp % CB:
+        CB //= 2
     assert TP == TOKENS_PAD and Cp % CB == 0
     grid = (Cp // CB,)
     spec = pl.BlockSpec((SUBS_PER_CHUNK, CB, TOKENS_PAD),

@@ -234,13 +234,16 @@ def sharded_pack_step(
         if R:
             return pack_payload_turbo(tv, td, valid, llc, lll,
                                       dc, dl, hdrb, en, nseg=nseg, W=W, R=R)
-        return pack_payload(tv, td, lsym, dsym, valid, llc, lll, dc, dl,
-                            hdrb, en, nseg=nseg, W=W)
+        w, pe, lb = pack_payload(tv, td, lsym, dsym, valid, llc, lll, dc, dl,
+                                 hdrb, en, nseg=nseg, W=W)
+        big = jnp.full(lb.shape, 1 << 30, jnp.int32)  # no split anchors
+        return w, pe, lb, big, big
 
     return shard_map(
         body, mesh=mesh,
         in_specs=(P("blocks"), P("blocks"), P("blocks"), P("blocks")),
-        out_specs=(P("blocks"), P("blocks"), P("blocks")),
+        out_specs=(P("blocks"), P("blocks"), P("blocks"), P("blocks"),
+                   P("blocks")),
         check_vma=False,
     )(tv, td, cnt, hdr_bits)
 
@@ -291,6 +294,7 @@ def sharded_turbo_inflate_step(
     shift_idx: jax.Array,  # (L_pad, 128) int32 residue+iota, sharded
     bit0: jax.Array,       # (8, L_pad//8) int32 lane-grid, cols sharded
     endb: jax.Array,       # (8, L_pad//8) int32 lane-grid, cols sharded
+    base: jax.Array,       # (L_pad,) int32 lane first-token start offsets
     lt: jax.Array,         # (8, 512) int32 replicated litlen table
     dt: jax.Array,         # (8, 512) int32 replicated dist table
     mesh: Mesh, T: int, LB: int, CB: int,
@@ -318,24 +322,24 @@ def sharded_turbo_inflate_step(
     assert L_loc % LB == 0, "need whole lane-blocks per device"
     C_loc = L_loc // tk.SUBS_PER_CHUNK
 
-    def body(starts_w, shift_idx, bit0, endb):
+    def body(starts_w, shift_idx, bit0, endb, base):
         fetched = tk.extract_lanes(words, starts_w)
         lanes = tk.shift_lanes(fetched, shift_idx, LB=LB)
         planes = _to_planes(lanes, LB=LB)
         tg, mg = tk.decode_turbo(planes, bit0, endb, lt, dt, T=T, LB=LB)
         tokens = _from_grid(tg, LB=LB)
         meta = _from_grid(mg, LB=LB)
-        t8, s8 = _glue_tokens(tokens, meta[0], T=T, C_pad=C_loc)
-        rows = tk.resolve_turbo(t8, s8, CB=CB)
+        t16, s16 = _glue_tokens(tokens, meta[0], base, T=T, C_pad=C_loc)
+        rows = tk.resolve_turbo(t16, s16, CB=CB)
         return rows, meta
 
     return shard_map(
         body, mesh=mesh,
         in_specs=(P("blocks"), P("blocks"), P(None, "blocks"),
-                  P(None, "blocks")),
+                  P(None, "blocks"), P("blocks")),
         out_specs=(P("blocks"), P(None, "blocks")),
         check_vma=False,
-    )(starts_w, shift_idx, bit0, endb)
+    )(starts_w, shift_idx, bit0, endb, base)
 
 
 def parallel_inflate_turbo(data: bytes, index, mesh: Mesh,
@@ -351,8 +355,12 @@ def parallel_inflate_turbo(data: bytes, index, mesh: Mesh,
     if lane_block is None:
         from ..codec.turbo import _bucket as _b
 
+        # >= one whole 4 KiB chunk (SUBS_PER_CHUNK lanes) per device so
+        # chunk rows never straddle a device boundary
         lane_block = min(tk.LANE_BLOCK,
-                         max(8, _b(-(-index.anchor_bit.size // D), 8)))
+                         max(tk.SUBS_PER_CHUNK,
+                             _b(-(-index.anchor_bit.size // D),
+                                tk.SUBS_PER_CHUNK)))
     plan = TurboPlan.build(bytes(data), index, lane_block=lane_block,
                            min_lanes=D * lane_block)
     if plan.L_pad % (D * plan.LB):
@@ -367,6 +375,7 @@ def parallel_inflate_turbo(data: bytes, index, mesh: Mesh,
         _put(np.asarray(plan.shift_idx), sh),
         _put(np.asarray(plan.bit0), sh_col),
         _put(np.asarray(plan.endb), sh_col),
+        _put(np.asarray(plan.base), sh),
         plan.lt, plan.dt,
         mesh=mesh, T=plan.T, LB=plan.LB, CB=CB,
     )
@@ -496,16 +505,20 @@ def parallel_deflate(data: bytes | None, mesh: Mesh, block_size: int = 32768,
         from ..config import CodecConfig
 
         R = CodecConfig.turbo().pack_row_width(seg_size) if turbo else 0
-        words, payload_end, lane_bit0 = sharded_pack_step(
-            tv, td, cnt,
-            jnp.asarray(ll_code), jnp.asarray(ll_len.astype(np.int32)),
-            jnp.asarray(d_code), jnp.asarray(d_len.astype(np.int32)),
-            _put(hdr_bits, sharding), mesh=mesh, N=N, SEG_SIZE=seg_size,
-            W=W, R=R,
-        )
+        words, payload_end, lane_bit0, split_bit, split_out = \
+            sharded_pack_step(
+                tv, td, cnt,
+                jnp.asarray(ll_code), jnp.asarray(ll_len.astype(np.int32)),
+                jnp.asarray(d_code), jnp.asarray(d_len.astype(np.int32)),
+                _put(hdr_bits, sharding), mesh=mesh, N=N, SEG_SIZE=seg_size,
+                W=W, R=R,
+            )
         headers = {0: (hdr0, hb0), 1: (hdr1, hb1)}
         if with_index:
             max_tokens = int(_to_host(cnt).max(initial=0))
+            if turbo:
+                split_bit_np = _to_host(split_bit)
+                split_out_np = _to_host(split_out)
     else:
         words, payload_end, lane_bit0, adler = sharded_deflate_step(
             blocks_gl, _put(n_valid, sharding),
@@ -516,6 +529,8 @@ def parallel_deflate(data: bytes | None, mesh: Mesh, block_size: int = 32768,
     words_np = _to_host(words)
     pe = _to_host(payload_end)
     lane_bit0_np = _to_host(lane_bit0)
+    if not (turbo and with_index):
+        split_bit_np = split_out_np = None
 
     eob_code = int(ll_code[C.END_OF_BLOCK])
     eob_len = int(ll_len[C.END_OF_BLOCK])
@@ -545,8 +560,20 @@ def parallel_deflate(data: bytes | None, mesh: Mesh, block_size: int = 32768,
             C.BTYPE_DYNAMIC if dynamic else C.BTYPE_FIXED, bool(bfinal),
             start_bit, start_bit + hb, start_bit + end_bits, i * N, nb))
         for s in range(-(-nb // seg_size)):
-            anchor_bit.append(start_bit + int(lane_bit0_np[i * nseg + s]))
+            lane = i * nseg + s
+            lb = int(lane_bit0_np[lane])
+            anchor_bit.append(start_bit + lb)
             anchor_out.append(i * N + s * seg_size)
+            anchor_block.append(len(binfos) - 1)
+            if split_bit_np is None:
+                continue
+            lane_end = (int(lane_bit0_np[lane + 1]) if s + 1 < nseg
+                        else int(pe[i]))
+            sb, so = int(split_bit_np[lane]), int(split_out_np[lane])
+            if sb >= 1 << 30:
+                sb, so = lane_end - lb, min(nb - s * seg_size, seg_size)
+            anchor_bit.append(start_bit + lb + sb)
+            anchor_out.append(i * N + s * seg_size + so)
             anchor_block.append(len(binfos) - 1)
         if bfinal:
             nby = (end_bits + 7) // 8
