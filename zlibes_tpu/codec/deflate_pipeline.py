@@ -182,6 +182,30 @@ class _BlockPlan:
                  "d_code", "d_len", "eob_code", "eob_len", "bfinal")
 
 
+_ADLER_CHUNK = 2048
+
+
+@jax.jit
+def _adler_terms(dev_bytes: jax.Array, n_valid: jax.Array):
+    """Per-2048-byte-chunk Adler partial terms (A, B) for already-uploaded
+    block rows: A = Σ d_j mod m, B = Σ j·d_j mod m.  The host combines
+    them across dispatches (s2 term of chunk at global offset o is
+    (n-o)·A - B), so the deflate trailer needs no extra device round-trip
+    — the tiled device reduction rides the phase-1 dispatch (C9)."""
+    from ..ops.adler32 import _M
+
+    Bp, Npad = dev_bytes.shape
+    N = Npad - 8
+    d = dev_bytes[:, :N].astype(jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (Bp, N), 1)
+    d = jnp.where(pos < n_valid[:, None], d, 0)
+    dd = d.reshape(Bp, N // _ADLER_CHUNK, _ADLER_CHUNK)
+    jj = jax.lax.broadcasted_iota(jnp.int32, dd.shape, 2)
+    a_c = jnp.sum(dd, axis=2) % _M
+    b_c = jnp.sum(dd * jj, axis=2) % _M
+    return a_c.reshape(-1), b_c.reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("N", "SEG_SIZE", "lazy", "split_far"))
 def _select_turbo_glue(dev_bytes, matches, n_valid, N, SEG_SIZE, lazy,
                        split_far):
@@ -255,6 +279,7 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
             n_valid[i] = chunk.size
         dev_bytes = jnp.asarray(blk_bytes)
         dev_nv = jnp.asarray(n_valid)
+        ad_a, ad_b = _adler_terms(dev_bytes, dev_nv)
         with stats.timer("match"), trace("zlibes.match"):
             matches = find_matches(dev_bytes, dev_nv, N=N,
                                    S=cfg.probe_words, J=cfg.candidates,
@@ -270,7 +295,7 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
                 tv, td, cnt = select_tokens(
                     dev_bytes, matches, dev_nv, N=N, SEG_SIZE=SEG_SIZE,
                     lazy=cfg.lazy, split_far=cfg.max_code_bits <= 9)
-        return tv, td, cnt, n_valid
+        return tv, td, cnt, n_valid, ad_a, ad_b
 
     # --- phase 1: global histograms
     ll_total = np.zeros(C.NUM_LITLEN_SYMBOLS, np.int64)
@@ -278,17 +303,35 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
     kept = {}
     max_tokens = 0
     spans = [(d0, min(nblocks, d0 + Bp)) for d0 in range(0, nblocks, Bp)]
+    s1_sum = 0
+    s2_sum = 0
+    nchunks = N // _ADLER_CHUNK
     for d0, d1 in spans:
-        tv, td, cnt, n_valid = run_dispatch(d0, d1)
-        max_tokens = max(max_tokens, int(jnp.max(cnt)))
+        tv, td, cnt, n_valid, ad_a, ad_b = run_dispatch(d0, d1)
         with stats.timer("symbols"), trace("zlibes.symbols"):
             lsym, dsym, valid, ll_freq, d_freq = token_symbols(
                 tv, td, cnt, nseg=nseg)
-        ll_total += np.asarray(ll_freq).astype(np.int64).sum(axis=0)
-        d_total += np.asarray(d_freq).astype(np.int64).sum(axis=0)
+        # one fused readback per dispatch (each sync pays the full
+        # host<->device round-trip; ~30 ms on the tunneled setup)
+        nh = C.NUM_LITLEN_SYMBOLS
+        hist = np.asarray(jnp.concatenate(
+            [jnp.sum(ll_freq, axis=0), jnp.sum(d_freq, axis=0),
+             jnp.max(cnt)[None], ad_a, ad_b])).astype(np.int64)
+        ll_total += hist[:nh]
+        d_total += hist[nh : nh + C.NUM_DIST_SYMBOLS]
+        max_tokens = max(max_tokens, int(hist[nh + C.NUM_DIST_SYMBOLS]))
+        nt = ad_a.shape[0]
+        a_c = hist[-2 * nt : -nt]
+        b_c = hist[-nt:]
+        offs = ((np.arange(nt, dtype=np.int64) // nchunks + d0) * N
+                + (np.arange(nt, dtype=np.int64) % nchunks) * _ADLER_CHUNK)
+        _M = 65521
+        s1_sum += int(a_c.sum())
+        s2_sum += int((((n - offs) % _M) * a_c - b_c).sum())
         if keep_tokens:
             kept[d0] = (tv, td, cnt, n_valid, lsym, dsym, valid)
         stats.dispatches += 1
+    stats.adler = (((n + s2_sum) % 65521) << 16) | ((1 + s1_sum) % 65521)
 
     # --- one shared table pair: code lengths built ON DEVICE (north star
     # C7: package-merge → sort+prefix ops; ops/entropy.py), one dispatch
@@ -346,16 +389,25 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
                         jnp.asarray(hdr_bits_arr), enabled, nseg=nseg,
                         W=W, R=R,
                     )
-                split_bit_np = np.asarray(split_bit)
-                split_out_np = np.asarray(split_out)
             else:
                 words, payload_end, lane_bit0 = pack_payload(
                     tv, td, lsym, dsym, valid,
                     ll_code_b, ll_len_b, d_code_b, d_len_b,
                     jnp.asarray(hdr_bits_arr), enabled, nseg=nseg, W=W,
                 )
-        payload_end_np = np.asarray(payload_end)
-        lane_bit0_np = np.asarray(lane_bit0)
+                split_bit = split_out = None
+        # one fused metadata readback per dispatch
+        if split_bit is not None:
+            L_ = lane_bit0.shape[0]
+            meta = np.asarray(jnp.concatenate(
+                [payload_end, lane_bit0, split_bit, split_out]))
+            payload_end_np = meta[:Bp]
+            lane_bit0_np = meta[Bp : Bp + L_]
+            split_bit_np = meta[Bp + L_ : Bp + 2 * L_]
+            split_out_np = meta[Bp + 2 * L_ :]
+        else:
+            payload_end_np = np.asarray(payload_end)
+            lane_bit0_np = np.asarray(lane_bit0)
         used_words = np.zeros(B, np.int64)
         for i in range(B):
             used_words[i] = (int(payload_end_np[i]) + eob_len + 31) // 32 + 1
@@ -667,10 +719,16 @@ def deflate(data: bytes, block_size: int | None = None, with_index: bool = False
     data = bytes(data)
     if config is None and level is not None:
         config = CodecConfig.from_level(level)
+    if stats is None:
+        stats = CodecStats()
     body, index = deflate_raw_tpu(data, block_size or C.BLOCK_MAX_BUFFER_LEN,
                                   config=config, stats=stats)
-    arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
-    trailer = int(adler32_device(arr, len(data))).to_bytes(4, "big")
+    if stats.adler is not None:
+        # device Adler terms rode the encode dispatches (no extra upload)
+        trailer = stats.adler.to_bytes(4, "big")
+    else:
+        arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
+        trailer = int(adler32_device(arr, len(data))).to_bytes(4, "big")
     out = C.ZLIB_HEADER + body + trailer
     if with_index:
         return out, index.shifted(16)

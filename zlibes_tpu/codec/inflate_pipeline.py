@@ -162,8 +162,10 @@ def inflate_raw_scan(data: bytes, byte_offset: int = 0,
     Returns (output bytes ndarray, list[BlockInfo], end_bit).
 
     Uses the native C++ scanner when available (the structure pass is the
-    inherently bit-serial part; rapidgzip-style), resolving the token
-    stream on host; falls back to single-lane device decode otherwise.
+    inherently bit-serial part; rapidgzip-style); the extracted token
+    stream is then LZ-resolved ON DEVICE in 4 MiB windows with 32 KiB
+    prefix halos (_resolve_tokens_np → ops.inflate_kernel.resolve_global).
+    Falls back to single-lane device decode when no C++ toolchain exists.
     """
     from ..runtime import native
 

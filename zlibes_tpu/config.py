@@ -109,6 +109,8 @@ class CodecStats:
     blocks: int = 0
     dispatches: int = 0
     stage_s: dict = field(default_factory=dict)
+    adler: int | None = None  # trailer checksum, when the encode pipeline
+    # folded its device Adler terms into the phase-1 dispatches
 
     @property
     def ratio(self) -> float:
