@@ -101,19 +101,17 @@ def main() -> None:
             planes = tb._to_planes(lanes, LB=plan.LB)
             tg, mg = tk.decode_turbo(planes, bit0, endb, lt, dt, T=plan.T,
                                      LB=plan.LB)
-            tokens = tb._from_grid(tg, LB=plan.LB)
-            meta = tb._from_grid(mg, LB=plan.LB)
-            t16, s16 = tb._glue_tokens(tokens, meta[0], base, T=plan.T,
-                                       C_pad=plan.C_pad)
+            t16, s16 = tb._glue_tokens(tg, mg[0], base, T=plan.T,
+                                       C_pad=plan.C_pad, LB=plan.LB)
             rows = tk.resolve_turbo(t16, s16)
             flat = rows.reshape(-1)[: plan.total_out]
             adler = adler32_device(flat, plan.total_out)
-            return c + adler.astype(jnp.int32) + meta[2].sum(), None
+            return c + adler.astype(jnp.int32) + mg[2].sum(), None
         c, _ = jax.lax.scan(body, jnp.int32(0), stack)
         return c
 
     args = (stack, plan.starts_w, plan.shift_idx, plan.bit0, plan.endb,
-            plan.base, plan.lt, plan.dt)
+            plan.base_g, plan.lt, plan.dt)
     t0 = time.perf_counter()
     _sync(run_inflate(*args))
     _log(f"inflate compile+first: {time.perf_counter()-t0:.0f}s")

@@ -27,14 +27,13 @@ def _bucket(n: int, lo: int) -> int:
     return max(lo, 1 << (max(n, 1) - 1).bit_length())
 
 
-@partial(jax.jit, static_argnames=("T", "C_pad"))
-def _glue_tokens(tokens: jax.Array,  # (T, L) int32 packed, L = paired lanes
-                 counts: jax.Array,  # (L,) int32
-                 base: jax.Array,    # (L,) int32 within-SEG_SPAN offset of
-                                     # each lane's first token (0 for even
-                                     # lanes; the recorded split offset,
-                                     # in [SUB, SEG_SPAN], for odd lanes)
-                 T: int, C_pad: int):
+@partial(jax.jit, static_argnames=("T", "C_pad", "LB"))
+def _glue_tokens(tokens_g: jax.Array,  # (T, 8, G) int32 decode-grid tokens
+                 counts_g: jax.Array,  # (8, G) int32 decode-grid counts
+                 base_g: jax.Array,    # (8, G) int32 per-lane sub-span
+                                       # offset of the first token (0 for
+                                       # even lanes; split-256 for odd)
+                 T: int, C_pad: int, LB: int = tk.LANE_BLOCK):
     """Token post-pass: start offsets + paired resolve-layout reshape.
 
     Decode lanes come in pairs covering one SEG_SPAN-byte selection
@@ -49,45 +48,59 @@ def _glue_tokens(tokens: jax.Array,  # (T, L) int32 packed, L = paired lanes
     covering tokens within one 128-slot bisection window (a dead slot 0
     would push an all-literal tile's cover to 129 slots).
 
+    Everything data-sized computes in the decode-grid layout (cumsum and
+    reductions along the token axis), so each big array pays exactly ONE
+    transpose — straight from the decode grid to the resolve rows.
+
     Returns (toks16, starts16): (SUBS_PER_CHUNK, C_pad, TOKENS_PAD) int32
     with invalid slots carrying start 2048 (past any in-span position).
     """
-    L = tokens.shape[1]
-    nsp = L // 2
-    iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, L), 0)
-    valid = iota_t < counts[None, :]
-    ism = (tokens & tk.TOK_MATCH_BIT) != 0
-    val = tokens & tk.TOK_VAL_MASK
+    _, E, G = tokens_g.shape
+    L = E * G
+    NL = L // LB
+    GB = LB // 8
+    spc = tk.SUBS_PER_CHUNK
+    assert GB % spc == 0
+
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, E, G), 0)
+    valid = iota_t < counts_g[None]
+    ism = (tokens_g & tk.TOK_MATCH_BIT) != 0
+    val = tokens_g & tk.TOK_VAL_MASK
     lens = jnp.where(valid, jnp.where(ism, val, 1), 0)
     ends = jnp.cumsum(lens, axis=0)
-    starts = jnp.where(valid, base[None, :] + ends - lens, 2048)
-    toks = jnp.where(valid, tokens, 0)
+    starts = jnp.where(valid, base_g[None] + ends - lens, 2048)
+    toks = jnp.where(valid, tokens_g, 0)
 
-    t3 = toks.T.reshape(nsp, 2, T)
-    s3 = starts.T.reshape(nsp, 2, T)
-    l3 = lens.T.reshape(nsp, 2, T)
-    even_t, odd_t = t3[:, 0], t3[:, 1]
-    even_s, odd_s = s3[:, 0], s3[:, 1] - tk.SUB
-    # crossing token of each segment (at most one; sum = select)
-    cross = (s3[:, 0] < tk.SUB) & (s3[:, 0] + l3[:, 0] > tk.SUB) \
-        & (l3[:, 0] > 0)
-    has_cross = jnp.any(cross, axis=1)
-    cross_t = jnp.sum(jnp.where(cross, even_t, 0), axis=1)
-    cross_s = jnp.sum(jnp.where(cross, even_s, 0), axis=1) - tk.SUB
+    # crossing token per lane (at most one; only even lanes can trigger:
+    # odd lanes' rebased tokens end at <= SUB); sum = select
+    cross = valid & (starts < tk.SUB) & (starts + lens > tk.SUB)
+    has_cross = jnp.any(cross, axis=0)                         # (8, G)
+    cross_t = jnp.sum(jnp.where(cross, toks, 0), axis=0)
+    cross_s = jnp.sum(jnp.where(cross, starts, 0), axis=0) - tk.SUB
 
-    spc = tk.SUBS_PER_CHUNK
+    # small per-lane arrays to lane order; odd rows prepend the PREVIOUS
+    # (even) lane's crossing token — a one-lane shift, no strided slicing
+    def lane_vec(v):  # (8, G) grid -> (L,) lane-ordered
+        return jnp.transpose(v.reshape(8, NL, GB), (1, 0, 2)).reshape(L)
+
+    use0 = jnp.pad(lane_vec(has_cross), (1, 0))[:L] \
+        & ((jnp.arange(L, dtype=jnp.int32) & 1) == 1)
+    slot0_t = jnp.pad(lane_vec(cross_t), (1, 0))[:L]
+    slot0_s = jnp.pad(lane_vec(cross_s), (1, 0))[:L]
+    u3 = use0.reshape(C_pad, spc).T[:, :, None]
     pe = tk.TOKENS_PAD - T
 
-    def relayout(ev, od, slot0, fill):
-        ev = jnp.pad(ev, ((0, 0), (0, pe)), constant_values=fill)
-        od = jnp.pad(od, ((0, 0), (0, pe)), constant_values=fill)
-        od_shift = jnp.concatenate([slot0[:, None], od[:, :-1]], axis=1)
-        od = jnp.where(has_cross[:, None], od_shift, od)
-        rows = jnp.stack([ev, od], axis=1).reshape(2 * nsp, tk.TOKENS_PAD)
-        return jnp.transpose(rows.reshape(C_pad, spc, tk.TOKENS_PAD),
-                             (1, 0, 2))
-    return (relayout(even_t, odd_t, cross_t, 0),
-            relayout(even_s, odd_s, cross_s, 2048))
+    def relayout(x, slot0, fill):
+        # one transpose: (T, 8, NL, GB/spc, spc) -> (spc, chunk dims, T);
+        # lane l = i*LB + r*GB + c sits at chunk l//spc, sub-span l%spc
+        x = x.reshape(T, 8, NL, GB // spc, spc)
+        rows = jnp.transpose(x, (4, 2, 1, 3, 0)).reshape(spc, C_pad, T)
+        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, pe)),
+                       constant_values=fill)
+        s3 = slot0.reshape(C_pad, spc).T[:, :, None]
+        shifted = jnp.concatenate([s3, rows[:, :, :-1]], axis=2)
+        return jnp.where(u3, shifted, rows)
+    return relayout(toks, slot0_t, 0), relayout(starts, slot0_s, 2048)
 
 
 def _lane_spans(index: StreamIndex):
@@ -142,7 +155,7 @@ class TurboPlan:
     """Host-prepared device arrays for one turbo stream (reusable)."""
 
     __slots__ = ("words", "starts_w", "shift_idx", "bit0", "endb", "lt", "dt",
-                 "base", "L", "L_pad", "C_pad", "T", "LB", "total_out",
+                 "base_g", "L", "L_pad", "C_pad", "T", "LB", "total_out",
                  "lane_end_check")
 
     @staticmethod
@@ -213,10 +226,13 @@ class TurboPlan:
         p.bit0 = jnp.asarray(_lane_grid(bit0_in, p.L_pad, lane_block))
         p.endb = jnp.asarray(_lane_grid(endb_in, p.L_pad, lane_block))
         p.lane_end_check = endb_in
+        # per-lane first-token offset in SUB-span coordinates (odd lanes'
+        # within-segment split offset is rebased by -SUB here, once)
         br = np.zeros(p.L_pad, np.int32)
         br[:L] = base_rel.astype(np.int32)
-        br[1::2][br[1::2] == 0] = tk.SUB  # padded odd lanes: empty B half
-        p.base = jnp.asarray(br)
+        br[1::2] -= tk.SUB
+        br[1::2] = np.maximum(br[1::2], 0)  # short final / padded lanes
+        p.base_g = jnp.asarray(_lane_grid(br, p.L_pad, lane_block))
         p.lt = jnp.asarray(lt)
         p.dt = jnp.asarray(dt)
         return p
@@ -241,12 +257,10 @@ def run_turbo(plan: TurboPlan, check: bool = True):
     tokens_g, meta_g = tk.decode_turbo(planes, plan.bit0, plan.endb,
                                        plan.lt, plan.dt, T=plan.T,
                                        LB=plan.LB)
-    tokens = _from_grid(tokens_g, LB=plan.LB)
-    meta = _from_grid(meta_g, LB=plan.LB)
     if check:
-        plan.check_meta(np.asarray(meta))
-    toks16, starts16 = _glue_tokens(tokens, meta[0], plan.base, T=plan.T,
-                                    C_pad=plan.C_pad)
+        plan.check_meta(np.asarray(_from_grid(meta_g, LB=plan.LB)))
+    toks16, starts16 = _glue_tokens(tokens_g, meta_g[0], plan.base_g,
+                                    T=plan.T, C_pad=plan.C_pad, LB=plan.LB)
     return tk.resolve_turbo(toks16, starts16)
 
 

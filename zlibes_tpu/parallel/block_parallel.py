@@ -294,7 +294,8 @@ def sharded_turbo_inflate_step(
     shift_idx: jax.Array,  # (L_pad, 128) int32 residue+iota, sharded
     bit0: jax.Array,       # (8, L_pad//8) int32 lane-grid, cols sharded
     endb: jax.Array,       # (8, L_pad//8) int32 lane-grid, cols sharded
-    base: jax.Array,       # (L_pad,) int32 lane first-token start offsets
+    base_g: jax.Array,     # (8, L_pad//8) int32 lane-grid first-token
+                           # sub-span offsets, cols sharded
     lt: jax.Array,         # (8, 512) int32 replicated litlen table
     dt: jax.Array,         # (8, 512) int32 replicated dist table
     mesh: Mesh, T: int, LB: int, CB: int,
@@ -322,24 +323,23 @@ def sharded_turbo_inflate_step(
     assert L_loc % LB == 0, "need whole lane-blocks per device"
     C_loc = L_loc // tk.SUBS_PER_CHUNK
 
-    def body(starts_w, shift_idx, bit0, endb, base):
+    def body(starts_w, shift_idx, bit0, endb, base_g):
         fetched = tk.extract_lanes(words, starts_w)
         lanes = tk.shift_lanes(fetched, shift_idx, LB=LB)
         planes = _to_planes(lanes, LB=LB)
         tg, mg = tk.decode_turbo(planes, bit0, endb, lt, dt, T=T, LB=LB)
-        tokens = _from_grid(tg, LB=LB)
         meta = _from_grid(mg, LB=LB)
-        t16, s16 = _glue_tokens(tokens, meta[0], base, T=T, C_pad=C_loc)
+        t16, s16 = _glue_tokens(tg, mg[0], base_g, T=T, C_pad=C_loc, LB=LB)
         rows = tk.resolve_turbo(t16, s16, CB=CB)
         return rows, meta
 
     return shard_map(
         body, mesh=mesh,
         in_specs=(P("blocks"), P("blocks"), P(None, "blocks"),
-                  P(None, "blocks"), P("blocks")),
+                  P(None, "blocks"), P(None, "blocks")),
         out_specs=(P("blocks"), P(None, "blocks")),
         check_vma=False,
-    )(starts_w, shift_idx, bit0, endb, base)
+    )(starts_w, shift_idx, bit0, endb, base_g)
 
 
 def parallel_inflate_turbo(data: bytes, index, mesh: Mesh,
@@ -355,12 +355,13 @@ def parallel_inflate_turbo(data: bytes, index, mesh: Mesh,
     if lane_block is None:
         from ..codec.turbo import _bucket as _b
 
-        # >= one whole 4 KiB chunk (SUBS_PER_CHUNK lanes) per device so
-        # chunk rows never straddle a device boundary
+        # >= 8 whole 4 KiB chunks (8 * SUBS_PER_CHUNK lanes) per device so
+        # chunk rows never straddle a device boundary and the glue's
+        # grid-to-rows transpose stays expressible (LB//8 % spc == 0)
         lane_block = min(tk.LANE_BLOCK,
-                         max(tk.SUBS_PER_CHUNK,
+                         max(8 * tk.SUBS_PER_CHUNK,
                              _b(-(-index.anchor_bit.size // D),
-                                tk.SUBS_PER_CHUNK)))
+                                8 * tk.SUBS_PER_CHUNK)))
     plan = TurboPlan.build(bytes(data), index, lane_block=lane_block,
                            min_lanes=D * lane_block)
     if plan.L_pad % (D * plan.LB):
@@ -375,7 +376,7 @@ def parallel_inflate_turbo(data: bytes, index, mesh: Mesh,
         _put(np.asarray(plan.shift_idx), sh),
         _put(np.asarray(plan.bit0), sh_col),
         _put(np.asarray(plan.endb), sh_col),
-        _put(np.asarray(plan.base), sh),
+        _put(np.asarray(plan.base_g), sh_col),
         plan.lt, plan.dt,
         mesh=mesh, T=plan.T, LB=plan.LB, CB=CB,
     )
