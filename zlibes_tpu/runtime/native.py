@@ -43,7 +43,7 @@ def _build() -> ctypes.CDLL | None:
         tmp = so.with_suffix(".tmp.so")
         try:
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", str(_SRC), "-o", str(tmp)],
+                ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(tmp)],
                 check=True, capture_output=True, timeout=120,
             )
             tmp.rename(so)
@@ -90,9 +90,13 @@ def scan(data: bytes, bit_offset: int = 0, anchor_every: int = 4096,
     lib = _get()
     if lib is None:
         raise RuntimeError("native runtime unavailable")
-    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    raw = np.frombuffer(bytes(data), dtype=np.uint8)
+    # zscan's bit reader does unaligned 64-bit loads: pad 8 readable
+    # bytes past the logical end (nbytes stays the logical size)
+    buf = np.concatenate([raw, np.zeros(8, np.uint8)])
+    nbytes = raw.size
     # capacity: tokens ≤ output bytes; grow-and-retry on cap errors
-    cap_toks = max(1 << 16, buf.size * 4)
+    cap_toks = max(1 << 16, nbytes * 4)
     cap_blocks = 4096
     while True:
         toks_val = np.empty(cap_toks, np.int32)
@@ -110,7 +114,7 @@ def scan(data: bytes, bit_offset: int = 0, anchor_every: int = 4096,
         crossing = ctypes.c_int64()
         rc = lib.zscan(
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.c_int64(buf.size), ctypes.c_int64(bit_offset),
+            ctypes.c_int64(nbytes), ctypes.c_int64(bit_offset),
             toks_val.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             toks_dist.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             ctypes.c_int64(cap_toks),

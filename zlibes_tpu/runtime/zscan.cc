@@ -9,12 +9,14 @@
 //   * the token stream (literal/length/dist), ready for device LZ resolve,
 // plus a sequential resolver used as the host-only fallback codec.
 //
-// Decode tables are flat 2^15-entry canonical lookups (same layout as the
-// device tables in ops/huffman.py).  No code is derived from the reference
-// implementation (reference is TypeScript; this is a fresh RFC 1951
-// implementation).
+// Decode tables are two-level canonical lookups (2^10 root + subtables,
+// so the hot table stays L1-resident); the input buffer must be readable
+// for 8 bytes past its logical end (native.py pads its copy) so the bit
+// reader is a single unaligned 64-bit load per symbol.  No code is
+// derived from the reference implementation (reference is TypeScript;
+// this is a fresh RFC 1951 implementation).
 //
-// Build: g++ -O2 -shared -fPIC zscan.cc -o libzscan.so   (see native.py)
+// Build: g++ -O3 -shared -fPIC zscan.cc -o libzscan.so   (see native.py)
 
 #include <cstdint>
 #include <cstring>
@@ -23,7 +25,12 @@
 namespace {
 
 constexpr int kMaxBits = 15;
-constexpr int kTabSize = 1 << kMaxBits;
+// two-level decode tables (zlib-style): a 2^10 root stays L1-resident —
+// the flat 2^15 table this replaces missed cache on nearly every symbol
+constexpr int kRootBits = 10;
+constexpr int kRootSize = 1 << kRootBits;
+constexpr uint32_t kRootMask = kRootSize - 1;
+constexpr int32_t kLongFlag = 1 << 30;
 
 // RFC 1951 §3.2.5 tables
 const int kLenBase[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,35,43,51,
@@ -38,27 +45,20 @@ const int kDistExtra[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,7,7,8,8,9,9,10,10,
 const int kClcOrder[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
 
 struct BitReader {
-  const uint8_t* data;
+  const uint8_t* data;  // caller guarantees 8 readable bytes past the
+                        // logical end (native.py pads its copy)
   size_t nbits;
   size_t pos;  // bit position
   bool overrun;
 
-  uint32_t peek(int n) {
-    // LSB-first peek of up to 24 bits (n <= 24)
-    size_t byte = pos >> 3;
-    int shift = pos & 7;
-    size_t nbytes = (nbits + 7) >> 3;
-    uint32_t w;
-    if (byte + 4 <= nbytes) {
-      memcpy(&w, data + byte, 4);  // little-endian host
-    } else {
-      w = 0;
-      for (int i = 0; i < 4; i++)
-        if (byte + i < nbytes) w |= (uint32_t)data[byte + i] << (8 * i);
-    }
-    w >>= shift;
-    return w & ((1u << n) - 1);
+  uint64_t peek64() const {
+    // LSB-first 57+ bit window at pos (single unaligned 8-byte load; the
+    // padding contract makes the tail branch-free)
+    uint64_t w;
+    memcpy(&w, data + (pos >> 3), 8);
+    return w >> (pos & 7);
   }
+  uint32_t peek(int n) { return (uint32_t)peek64() & ((1u << n) - 1); }
   uint32_t get(int n) {
     if (pos + n > nbits) { overrun = true; return 0; }
     uint32_t v = peek(n);
@@ -68,10 +68,22 @@ struct BitReader {
   void align() { pos = (pos + 7) & ~(size_t)7; }
 };
 
-// flat canonical decode table: entry = sym | (len << 16); 0 len = invalid
+// two-level canonical decode table.  Root entry for codes ≤ kRootBits:
+// sym | (len << 16); long root entry: kLongFlag | (sub_width << 24) |
+// sub_base; sub entry: sym | (len << 16) with the FULL code length.
+// entry 0 = invalid bit pattern.
 struct Table {
-  int32_t entry[kTabSize];
+  int32_t root[kRootSize];
+  int32_t sub[1 << kMaxBits];  // worst-case Kraft bound; used prefix only
 };
+
+inline int32_t table_lookup(const Table& t, uint64_t w) {
+  int32_t e = t.root[(uint32_t)w & kRootMask];
+  if (e & kLongFlag)
+    e = t.sub[(e & 0xFFFFF)
+              + (((uint32_t)(w >> kRootBits)) & ((1u << ((e >> 24) & 15)) - 1))];
+  return e;
+}
 
 bool build_table(const uint8_t* lens, int n, Table* t) {
   int bl_count[kMaxBits + 1] = {0};
@@ -81,22 +93,59 @@ bool build_table(const uint8_t* lens, int n, Table* t) {
   long kraft = 0;
   for (int l = 1; l <= kMaxBits; l++) kraft += (long)bl_count[l] << (kMaxBits - l);
   if (kraft > (1L << kMaxBits)) return false;
-  int next_code[kMaxBits + 2] = {0};
+  int next_code0[kMaxBits + 2] = {0};
   int code = 0;
   for (int l = 1; l <= kMaxBits; l++) {
     code = (code + bl_count[l - 1]) << 1;
-    next_code[l] = code;
+    next_code0[l] = code;
   }
-  memset(t->entry, 0, sizeof(t->entry));
+  memset(t->root, 0, sizeof(t->root));
+  // pass 1: per-root-slot sub-table width for long codes
+  uint8_t sub_bits[kRootSize];
+  memset(sub_bits, 0, sizeof(sub_bits));
+  int nc[kMaxBits + 2];
+  memcpy(nc, next_code0, sizeof(nc));
+  bool any_long = false;
+  for (int s = 0; s < n; s++) {
+    int l = lens[s];
+    if (l <= kRootBits) { if (l) nc[l]++; continue; }
+    any_long = true;
+    int c = nc[l]++;
+    int r = 0;
+    for (int b = 0; b < l; b++) { r = (r << 1) | (c & 1); c >>= 1; }
+    uint32_t slot = (uint32_t)r & kRootMask;
+    if (l - kRootBits > sub_bits[slot]) sub_bits[slot] = (uint8_t)(l - kRootBits);
+  }
+  int32_t slot_base[kRootSize];
+  if (any_long) {
+    int base = 0;
+    for (int slot = 0; slot < kRootSize; slot++) {
+      if (!sub_bits[slot]) continue;
+      int sz = 1 << sub_bits[slot];
+      memset(t->sub + base, 0, (size_t)sz * 4);
+      t->root[slot] = kLongFlag | (sub_bits[slot] << 24) | base;
+      slot_base[slot] = base;
+      base += sz;
+    }
+  }
+  // pass 2: fill
+  memcpy(nc, next_code0, sizeof(nc));
   for (int s = 0; s < n; s++) {
     int l = lens[s];
     if (!l) continue;
-    int c = next_code[l]++;
-    // bit-reverse c in l bits → LSB-first index
+    int c = nc[l]++;
     int r = 0;
     for (int b = 0; b < l; b++) { r = (r << 1) | (c & 1); c >>= 1; }
     int32_t e = s | (l << 16);
-    for (int idx = r; idx < kTabSize; idx += 1 << l) t->entry[idx] = e;
+    if (l <= kRootBits) {
+      for (int idx = r; idx < kRootSize; idx += 1 << l) t->root[idx] = e;
+    } else {
+      uint32_t slot = (uint32_t)r & kRootMask;
+      int sb = sub_bits[slot];
+      int idx = r >> kRootBits;  // (l - kRootBits) significant bits
+      for (int k = idx; k < (1 << sb); k += 1 << (l - kRootBits))
+        t->sub[slot_base[slot] + k] = e;
+    }
   }
   return true;
 }
@@ -185,7 +234,7 @@ int zscan(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
         uint8_t lens[288 + 32] = {0};
         uint32_t i = 0;
         while (i < hlit + hdist) {
-          int32_t e = clc_tab.entry[br.peek(kMaxBits)];
+          int32_t e = table_lookup(clc_tab, br.peek64());
           int l = e >> 16;
           if (!l) return Z_ERR_CORRUPT;
           if (br.pos + l > br.nbits) return Z_ERR_TRUNC;
@@ -224,33 +273,43 @@ int zscan(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
           nanch++;
           next_anchor = out + anchor_every;
         }
-        int32_t e = litlen_tab.entry[br.peek(kMaxBits)];
-        int l = e >> 16;
+        uint64_t w = br.peek64();
+        int32_t e = table_lookup(litlen_tab, w);
+        int l = (e >> 16) & 31;
         if (!l) return Z_ERR_CORRUPT;
         if (br.pos + l > br.nbits) return Z_ERR_TRUNC;
-        br.pos += l;
         int sym = e & 0xFFFF;
         if (sym < 256) {
+          br.pos += l;
           if (ntok >= max_toks) return Z_ERR_TOK_CAP;
           toks_val[ntok] = sym;
           toks_dist[ntok] = 0;
           ntok++;
           out++;
         } else if (sym == 256) {
+          br.pos += l;
           break;
         } else {
           if (sym > 285) return Z_ERR_CORRUPT;
           int li = sym - 257;
-          uint32_t length = kLenBase[li] + br.get(kLenExtra[li]);
-          int32_t de = dist_tab.entry[br.peek(kMaxBits)];
-          int dl = de >> 16;
+          int lex = kLenExtra[li];
+          // length extras ride the same 57-bit window (l + lex ≤ 20)
+          uint32_t length =
+              kLenBase[li] + (uint32_t)((w >> l) & ((1u << lex) - 1));
+          if (br.pos + l + lex > br.nbits) return Z_ERR_TRUNC;
+          br.pos += l + lex;
+          uint64_t w2 = br.peek64();
+          int32_t de = table_lookup(dist_tab, w2);
+          int dl = (de >> 16) & 31;
           if (!dl) return Z_ERR_CORRUPT;
-          if (br.pos + dl > br.nbits) return Z_ERR_TRUNC;
-          br.pos += dl;
           int dsym = de & 0xFFFF;
           if (dsym > 29) return Z_ERR_CORRUPT;
-          uint32_t dist = kDistBase[dsym] + br.get(kDistExtra[dsym]);
-          if (br.overrun) return Z_ERR_TRUNC;
+          int dex = kDistExtra[dsym];
+          // dist code + extras fit the window too (dl + dex ≤ 28)
+          uint32_t dist =
+              kDistBase[dsym] + (uint32_t)((w2 >> dl) & ((1u << dex) - 1));
+          if (br.pos + dl + dex > br.nbits) return Z_ERR_TRUNC;
+          br.pos += dl + dex;
           if ((int64_t)dist > out + dict_len) return Z_ERR_CORRUPT;
           if ((int64_t)dist > out - B.out_start) crossing = 1;
           if (ntok >= max_toks) return Z_ERR_TOK_CAP;
@@ -298,7 +357,14 @@ int zresolve(const int32_t* toks_val, const int32_t* toks_dist, int64_t ntok,
       if (d >= len) {
         memcpy(dst, src, (size_t)len);
       } else {
-        for (int64_t i = 0; i < len; i++) dst[i] = src[i];
+        // overlapping copy: seed one period, then double the span
+        memcpy(dst, src, (size_t)d);
+        int64_t done = d;
+        while (done < len) {
+          int64_t c = done < len - done ? done : len - done;
+          memcpy(dst + done, dst, (size_t)c);
+          done += c;
+        }
       }
       o += len;
     }
