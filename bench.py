@@ -89,7 +89,8 @@ def main() -> None:
 
     # ---- inflate: full device pipeline, scan-amortized
     plan = tb.TurboPlan.build(comp, index)
-    K = 8
+    K = 16  # tunnel RPC jitter is ±few ms; more scan steps per readback
+            # shrink its share of the per-exec quotient
     words_np = np.asarray(plan.words)
     stack = jnp.asarray(np.stack([words_np] * K))  # distinct buffer
 
