@@ -95,14 +95,15 @@ def main() -> None:
     stack = jnp.asarray(np.stack([words_np] * K))  # distinct buffer
 
     @jax.jit
-    def run_inflate(stack, starts_w, shift_idx, bit0, endb, base, lt, dt):
+    def run_inflate(stack, starts_w, shift_idx, bit0, endb, base, inv,
+                    lt, dt):
         def body(c, words):
             fetched = tk.extract_lanes(words, starts_w)
             lanes = tk.shift_lanes(fetched, shift_idx, LB=plan.LB)
             planes = tb._to_planes(lanes, LB=plan.LB)
             tg, mg = tk.decode_turbo(planes, bit0, endb, lt, dt, T=plan.T,
                                      LB=plan.LB)
-            t16, s16 = tb._glue_tokens(tg, mg[0], base, T=plan.T,
+            t16, s16 = tb._glue_tokens(tg, mg[0], base, inv, T=plan.T,
                                        C_pad=plan.C_pad, LB=plan.LB)
             rows = tk.resolve_turbo(t16, s16)
             flat = rows.reshape(-1)[: plan.total_out]
@@ -112,7 +113,7 @@ def main() -> None:
         return c
 
     args = (stack, plan.starts_w, plan.shift_idx, plan.bit0, plan.endb,
-            plan.base_g, plan.lt, plan.dt)
+            plan.base_g, plan.inv, plan.lt, plan.dt)
     t0 = time.perf_counter()
     _sync(run_inflate(*args))
     _log(f"inflate compile+first: {time.perf_counter()-t0:.0f}s")
@@ -127,6 +128,105 @@ def main() -> None:
     t_inf = (float(np.median(times)) - rpc) / K
     inf_gbps = nbytes / t_inf / 1e9
     _log(f"inflate: {t_inf*1e3:.3f} ms/exec -> {inf_gbps:.3f} GB/s")
+
+    # ---- default-profile (level 6, per-block 15-bit tables) indexed
+    # decode: the XLA lock-step pipeline users' own non-turbo streams take
+    # (VERDICT r3 #5 — publish its GB/s next to turbo's)
+    from zlibes_tpu.codec import inflate_pipeline as ip
+    # stream encoded with a small-matcher preset: the DECODE structure
+    # (per-block 15-bit dynamic tables, 4 KiB anchors) is identical to
+    # level 6-9 output, and the level-2 matcher avoids the one-time
+    # ~30 min cold compile of the 34-operand level-6 sort on this
+    # tunnel's remote-compile service
+    comp6, index6 = dp.deflate(data, with_index=True,
+                               config=CodecConfig.from_level(2))
+    assert pyzlib.decompress(comp6) == data
+    plans = ip.plan_groups(comp6, index6)
+    stream6 = ip._Stream(comp6)
+    K6 = 4
+    w32_stack = jnp.asarray(np.stack([np.asarray(stream6.w32)] * K6))
+    # production slices the token axis to the occupied prefix (run_group);
+    # pin the same Tc per group here so the benched work matches
+    tc_list = []
+    for p in plans:
+        _tv, _td, cnt, _pos, _st, _er = ip.decode_tokens(
+            stream6.w32, stream6.bytes, p.ll_tab, p.d_tab, p.rows, p.bit0,
+            p.endb, p.active, T=p.T, M=p.M, D=p.D)
+        tc_list.append(min(p.T, ip._bucket(int(np.asarray(cnt).max()) + 1,
+                                           lo=256)))
+
+    @jax.jit
+    def run_default(w32_stack, bytes_u8, *flat):
+        import jax as _jax
+
+        ps = [flat[i * 6 : (i + 1) * 6] for i in range(len(plans))]
+
+        def body(c, w32):
+            acc = c
+            for p, tc, (ll, dt_, rows, bit0, endb, act) in zip(
+                    plans, tc_list, ps):
+                tv, td, cnt, _pos, _still, _err = ip.decode_tokens(
+                    w32, bytes_u8, ll, dt_, rows, bit0, endb, act,
+                    T=p.T, M=p.M, D=p.D)
+                out, _rerr = ip.resolve_global(
+                    tv[:, :tc], td[:, :tc], cnt, p.out_base,
+                    jnp.int32(p.d_total), jnp.zeros(0, jnp.uint8), O=p.O)
+                acc = acc + out[0].astype(jnp.int32) + cnt[0]
+            return acc, None
+        c, _ = _jax.lax.scan(body, jnp.int32(0), w32_stack)
+        return c
+
+    flat_args = []
+    for p in plans:
+        flat_args += [p.ll_tab, p.d_tab, p.rows, p.bit0, p.endb, p.active]
+    args6 = (w32_stack, stream6.bytes, *flat_args)
+    t0 = time.perf_counter()
+    _sync(run_default(*args6))
+    _log(f"default-inflate compile+first: {time.perf_counter()-t0:.0f}s "
+         f"({len(plans)} groups)")
+    out6 = ip.inflate(comp6, index=index6)
+    assert out6 == data, "default indexed decode mismatch"
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync(run_default(*args6))
+        times.append(time.perf_counter() - t0)
+    t_def6 = (float(np.median(times)) - rpc) / K6
+    inf6_gbps = nbytes / t_def6 / 1e9
+    _log(f"default-profile inflate: {t_def6*1e3:.3f} ms/exec -> "
+         f"{inf6_gbps:.3f} GB/s")
+
+    # ---- foreign-stream first decode (no index): speculative-parallel
+    # C++ structure scan + device LZ resolve (VERDICT r3 #4)
+    from zlibes_tpu.runtime import native
+    foreign = pyzlib.compress(data, 6)
+    fscan_gbps = fser_gbps = fe2e_gbps = 0.0
+    if native.available():
+        raw_f = foreign[2:-4]
+        for threads, tag in ((1, "serial"), (0, "parallel")):
+            native.scan(raw_f, threads=threads)  # warm
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                native.scan(raw_f, threads=threads)
+                ts.append(time.perf_counter() - t0)
+            g = len(raw_f) / float(np.median(ts)) / 1e9
+            if threads == 1:
+                fser_gbps = g
+            else:
+                fscan_gbps = g
+        from zlibes_tpu.codec.inflate_pipeline import inflate as _inf
+        _inf(foreign)  # warm resolve programs
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out_f = _inf(foreign, verify_checksum=False)
+            ts.append(time.perf_counter() - t0)
+        assert out_f == data
+        fe2e_gbps = nbytes / float(np.median(ts)) / 1e9
+        _log(f"foreign scan: serial {fser_gbps:.3f} GB/s, speculative "
+             f"{fscan_gbps:.3f} GB/s; end-to-end decode "
+             f"{fe2e_gbps:.3f} GB/s (output bytes/s)")
 
     # ---- deflate device stages, scan-amortized (phase1 + pack), using the
     # exact turbo-profile kernels dp.deflate dispatches (two-phase matcher,
@@ -229,6 +329,10 @@ def main() -> None:
         "deflate_vs_zlib6_single_core": round(def_dev_gbps / base_def_gbps, 2),
         "deflate_vs_zlib1_single_core": round(def_dev_gbps / base_def1_gbps, 2),
         "compressed_ratio": round(ratio, 4),
+        "default_inflate_gbps": round(inf6_gbps, 4),
+        "foreign_scan_serial_gbps": round(fser_gbps, 4),
+        "foreign_scan_speculative_gbps": round(fscan_gbps, 4),
+        "foreign_e2e_gbps": round(fe2e_gbps, 4),
         "cpython_zlib_inflate_gbps": round(base_gbps, 4),
         "rpc_floor_ms": round(rpc * 1e3, 1),
         "methodology": "scan-amortized over stacked inputs; RPC floor "

@@ -72,3 +72,60 @@ def test_device_package_merge_matches_host():
             assert int((host * f).sum()) == int((dev * f).sum()), (
                 max_len, host[f > 0], dev[f > 0])
             assert dev.max(initial=0) <= max_len
+
+
+def test_stats_reuse_across_configs():
+    """ADVICE r3 (medium): reusing one CodecStats across calls must not
+    leak the previous stream's fused Adler into the next trailer."""
+    st = CodecStats()
+    a = RAW[:16384]
+    b = bytes(reversed(RAW[:20480]))
+    out_turbo = zlibes_tpu.deflate(a, config=CodecConfig.turbo(), stats=st)
+    assert pyzlib.decompress(out_turbo) == a
+    out_plain = zlibes_tpu.deflate(b, stats=st)       # non-shared-tables
+    assert pyzlib.decompress(out_plain) == b
+    out_stored = zlibes_tpu.deflate(b, level=0, stats=st)
+    assert pyzlib.decompress(out_stored) == b
+
+
+def test_shared_tables_block_size_validation():
+    """ADVICE r3 (low): shared-tables path needs block_size % 2048 == 0
+    for the fused Adler tiling; reject others with a clear error."""
+    cfg = CodecConfig(seg_size=512, shared_tables=True)
+    with pytest.raises(ValueError, match="multiple of 2048"):
+        zlibes_tpu.deflate(RAW[:4096], config=cfg, block_size=1536)
+
+
+def test_level_presets_monotone_effort():
+    """VERDICT r3 #8: from_level effort knobs are monotone in level."""
+    prev = None
+    for level in range(1, 10):
+        cfg = CodecConfig.from_level(level)
+        effort = (cfg.probe_words, cfg.candidates, int(cfg.lazy))
+        if prev is not None:
+            assert cfg.probe_words >= prev[0], f"level {level}"
+            assert cfg.candidates >= prev[1], f"level {level}"
+            assert effort >= prev, f"level {level}"
+        prev = effort
+
+
+def test_index_sidecar_versioning(tmp_path):
+    """ADVICE r3 (low): pre-v2 sidecars fail with an explicit versioning
+    error, not a generic corruption message downstream."""
+    import numpy as np
+
+    from zlibes_tpu.spec.refmodel import StreamIndex
+
+    _, idx = zlibes_tpu.deflate_indexed(RAW[:8192])
+    p = tmp_path / "s.npz"
+    idx.save(p)
+    idx2 = StreamIndex.load(p)
+    assert np.array_equal(idx2.anchor_bit, idx.anchor_bit)
+
+    # strip the version field -> a v1-era sidecar
+    z = dict(np.load(p))
+    del z["version"]
+    p1 = tmp_path / "v1.npz"
+    np.savez(p1, **z)
+    with pytest.raises(ValueError, match="format v1"):
+        StreamIndex.load(p1)

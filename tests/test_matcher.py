@@ -104,16 +104,16 @@ def test_every_match_is_real(case, reset, two_phase):
 @pytest.mark.parametrize("reset", [0, 4096])
 def test_two_phase_coverage(reset):
     """Fast path may miss some matches, never most of them: per-position
-    two-phase match length must be >= 90% of single-phase in aggregate
+    two-phase match length must be >= 93% of single-phase in aggregate
     (measured 93.4% on this corpus; the gap is the documented top-2
     finalist trade, not a correctness hole — correctness is pinned by
-    test_every_match_is_real)."""
+    test_every_match_is_real).  Fence tightened per VERDICT r3 #7."""
     data = CASES["rawbin"]()
     _, _, m1 = _run(data, reset, two_phase=False)
     _, _, m2 = _run(data, reset, two_phase=True)
     c1 = int(np.sum(m1 >> 16))
     c2 = int(np.sum(m2 >> 16))
-    assert c2 >= 0.90 * c1, (c1, c2)
+    assert c2 >= 0.93 * c1, (c1, c2)
 
 
 def test_turbo_roundtrip_rawbin():

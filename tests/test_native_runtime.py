@@ -75,3 +75,57 @@ def test_index_save_load(tmp_path):
     from zlibes_tpu import StreamIndex
     idx2 = StreamIndex.load(p)
     assert zlibes_tpu.inflate(comp, index=idx2) == RAW[:100000]
+
+
+def _scan_tuple(comp, **kw):
+    tv, td, idx, eb, ol = native.scan(comp, **kw)
+    blocks = [(b.btype, b.bfinal, b.start_bit, b.payload_start_bit,
+               b.end_bit, b.out_start, b.out_len) for b in idx.blocks]
+    return (tv.tobytes(), td.tobytes(), blocks, idx.anchor_bit.tobytes(),
+            idx.anchor_out.tobytes(), idx.anchor_block.tobytes(), eb, ol)
+
+
+def test_parallel_scan_bit_identical():
+    """Speculative-parallel scan splices spans bit-identically to the
+    serial scan across stream shapes (VERDICT r3 #4)."""
+    import numpy as np
+    data = RAW * 6  # ~2.9 MB in
+    for lvl in (1, 6, 9):
+        comp = pyzlib.compress(data, lvl)[2:-4]
+        a = _scan_tuple(comp, threads=1)
+        b = _scan_tuple(comp, threads=2, span_bytes=1 << 17)
+        assert a == b, f"level {lvl} parallel scan diverged"
+
+
+def test_parallel_scan_misspeculation_fallback():
+    """Spans landing inside one giant block find no (or a wrong) block
+    boundary — the merge must serial-rescan those spans and still produce
+    the exact serial result."""
+    import numpy as np
+
+    from zlibes_tpu.spec import refmodel as rm
+
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, 220000, dtype=np.uint8).tobytes()
+    # one giant dynamic block: every 64 KiB span boundary is mid-block
+    comp = rm.deflate(data, block_size=1 << 20)[2:-4]
+    assert len(comp) > (1 << 16) * 2
+    a = _scan_tuple(comp, threads=1)
+    b = _scan_tuple(comp, threads=2, span_bytes=1 << 16)
+    assert a == b
+    # and the resolved output is still exact
+    tv, td, _, _, ol = native.scan(comp, threads=2, span_bytes=1 << 16)
+    assert native.resolve(tv, td, ol).tobytes() == data
+
+
+def test_parallel_scan_stored_spans():
+    """Stored-block streams (incompressible input) splice via the
+    LEN/NLEN candidate filter."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, 1 << 21, dtype=np.uint8).tobytes()
+    comp = pyzlib.compress(data, 6)[2:-4]
+    a = _scan_tuple(comp, threads=1)
+    b = _scan_tuple(comp, threads=0, span_bytes=1 << 17)
+    assert a == b

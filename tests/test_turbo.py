@@ -197,3 +197,68 @@ def test_pack_payload_turbo_matches_pack_payload_fast():
     assert (np.asarray(pe1) == np.asarray(pe2)).all()
     assert (np.asarray(lb1) == np.asarray(lb2)).all()
     assert (np.asarray(w1) == np.asarray(w2)).all()
+
+
+def test_turbo_fuzz_batched_lanes():
+    """VERDICT r3 #7: >=1000 corruptions through the Pallas turbo path —
+    batched as parallel decode lanes (one corruption per 512 B anchor
+    segment => each dispatch carries hundreds of simultaneous
+    corruptions).  Oracle per corrupted segment: the kernel either flags
+    the lane (err / ran-past-anchor — Huffman codes self-synchronize, so
+    many flips re-sync to the right end bit) or produces wrong bytes
+    there (which the stream-level Adler turns into ChecksumError — also
+    asserted via the public inflate)."""
+    from zlibes_tpu.codec import turbo as tb
+    from zlibes_tpu.spec.errors import ChecksumError
+
+    data = _mixed_data(260000, seed=11)
+    comp, index = dp.deflate(data, with_index=True, config=CFG,
+                             block_size=BS)
+    arr = np.frombuffer(data, np.uint8)
+    rng = np.random.default_rng(5)
+    total_corruptions = 0
+    detected = 0
+    while total_corruptions < 1000:
+        bad = bytearray(comp)
+        corrupted_segs = []
+        spans = index.anchor_bit[0::2] // 8
+        for k in range(len(spans)):
+            lo = int(spans[k]) + 1
+            hi = int(index.anchor_bit[min(2 * k + 2, index.anchor_bit.size
+                                          - 1)] // 8)
+            if hi <= lo:
+                continue
+            pos = int(rng.integers(lo, hi))
+            if pos < len(bad) - 8:
+                bad[pos] ^= int(rng.integers(1, 256))
+                corrupted_segs.append(k)
+        total_corruptions += len(corrupted_segs)
+        with pytest.raises((CorruptError, ChecksumError)):
+            ip.inflate(bytes(bad), index=index)
+        # per-lane oracle: decode the corrupted stream unchecked and
+        # compare each 256 B half-segment against the true bytes
+        plan = tb.TurboPlan.build(bytes(bad), index)
+        fetched = tb.tk.extract_lanes(plan.words, plan.starts_w)
+        lanes = tb.tk.shift_lanes(fetched, plan.shift_idx, LB=plan.LB)
+        planes = tb._to_planes(lanes, LB=plan.LB)
+        tg, mg = tb.tk.decode_turbo(planes, plan.bit0, plan.endb,
+                                    plan.lt, plan.dt, T=plan.T, LB=plan.LB)
+        meta = np.asarray(tb._from_grid(mg, LB=plan.LB))
+        flagged = ((meta[2] > 0) | (meta[3] > 0)
+                   | (meta[1] != plan.lane_end_check))
+        flagged_orig = flagged[np.asarray(plan.inv)]  # decoded -> original
+        t16, s16 = tb._glue_tokens(tg, mg[0], plan.base_g, plan.inv,
+                                   T=plan.T, C_pad=plan.C_pad, LB=plan.LB)
+        out = np.asarray(tb.tk.resolve_turbo(t16, s16).reshape(-1)
+                         )[: plan.total_out]
+        ndiff = out != arr
+        for k in corrupted_segs:
+            lanes_bad = bool(flagged_orig[2 * k]) or bool(
+                flagged_orig[min(2 * k + 1, flagged_orig.size - 1)])
+            seg_bytes_bad = bool(ndiff[512 * k : 512 * (k + 1)].any())
+            detected += int(lanes_bad or seg_bytes_bad)
+    assert total_corruptions >= 1000
+    # a flip may (rarely) decode to byte-identical output via a different
+    # token sequence; everything else must be caught at lane granularity
+    assert detected >= 0.98 * total_corruptions, (
+        detected, total_corruptions)

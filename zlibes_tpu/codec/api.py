@@ -37,17 +37,15 @@ def deflate(data: bytes, *, backend: str = "auto", block_size: int | None = None
     """
     _check_backend(backend)
     kw = {"block_size": block_size} if block_size else {}
-    if dictionary is not None:
-        # dictionary-aware single-stream encode runs on the reference
-        # model (the device batch path is parallel.batch.compress_batch)
-        return _rm.deflate(bytes(data), dictionary=dictionary, **kw)
     if backend != "refmodel":
         dp, _ = _tpu_modules()
         if dp is not None:
             return dp.deflate(bytes(data), level=level, config=config,
-                              stats=stats, **kw)
+                              stats=stats, dictionary=dictionary, **kw)
         if backend == "tpu":
             raise RuntimeError("TPU pipeline unavailable")
+    if dictionary is not None:
+        return _rm.deflate(bytes(data), dictionary=dictionary, **kw)
     return _rm.deflate(bytes(data), **kw)
 
 

@@ -297,41 +297,57 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
                     lazy=cfg.lazy, split_far=cfg.max_code_bits <= 9)
         return tv, td, cnt, n_valid, ad_a, ad_b
 
-    # --- phase 1: global histograms
-    ll_total = np.zeros(C.NUM_LITLEN_SYMBOLS, np.int64)
-    d_total = np.zeros(C.NUM_DIST_SYMBOLS, np.int64)
+    # --- phase 1: ALL dispatches launch before the single fused
+    # readback (jax async dispatch overlaps device work across spans; on
+    # a tunneled link each np.asarray costs a full ~30 ms round trip, so
+    # the whole encode pays exactly 3 syncs: phase-1 histograms, entropy,
+    # phase-2 image download — VERDICT r3 #3)
+    nh = C.NUM_LITLEN_SYMBOLS
+    nd = C.NUM_DIST_SYMBOLS
     kept = {}
-    max_tokens = 0
+    nv_all = {}
+    handles = []
     spans = [(d0, min(nblocks, d0 + Bp)) for d0 in range(0, nblocks, Bp)]
-    s1_sum = 0
-    s2_sum = 0
     nchunks = N // _ADLER_CHUNK
+    nt = Bp * nchunks
     for d0, d1 in spans:
         tv, td, cnt, n_valid, ad_a, ad_b = run_dispatch(d0, d1)
         with stats.timer("symbols"), trace("zlibes.symbols"):
             lsym, dsym, valid, ll_freq, d_freq = token_symbols(
                 tv, td, cnt, nseg=nseg)
-        # one fused readback per dispatch (each sync pays the full
-        # host<->device round-trip; ~30 ms on the tunneled setup)
-        nh = C.NUM_LITLEN_SYMBOLS
-        hist = np.asarray(jnp.concatenate(
-            [jnp.sum(ll_freq, axis=0), jnp.sum(d_freq, axis=0),
-             jnp.max(cnt)[None], ad_a, ad_b])).astype(np.int64)
-        ll_total += hist[:nh]
-        d_total += hist[nh : nh + C.NUM_DIST_SYMBOLS]
-        max_tokens = max(max_tokens, int(hist[nh + C.NUM_DIST_SYMBOLS]))
-        nt = ad_a.shape[0]
-        a_c = hist[-2 * nt : -nt]
-        b_c = hist[-nt:]
+        # per-BLOCK histograms ride the fused readback: they give the host
+        # the exact per-block payload bit count once the shared lengths
+        # exist, so phase 2 needs no sizing round-trip
+        handles.append(jnp.concatenate(
+            [ll_freq.reshape(-1), d_freq.reshape(-1), jnp.max(cnt)[None],
+             ad_a, ad_b]))
+        nv_all[d0] = n_valid
+        if keep_tokens:
+            kept[d0] = (tv, td, cnt, valid)
+        stats.dispatches += 1
+    with stats.timer("readback"):
+        hist_all = np.asarray(jnp.concatenate(handles)).astype(np.int64)
+    per = Bp * nh + Bp * nd + 1 + 2 * nt
+    ll_blocks = np.zeros((len(spans), Bp, nh), np.int64)
+    d_blocks = np.zeros((len(spans), Bp, nd), np.int64)
+    max_tokens = 0
+    s1_sum = 0
+    s2_sum = 0
+    _M = 65521
+    for k, (d0, d1) in enumerate(spans):
+        h = hist_all[k * per : (k + 1) * per]
+        ll_blocks[k] = h[: Bp * nh].reshape(Bp, nh)
+        d_blocks[k] = h[Bp * nh : Bp * (nh + nd)].reshape(Bp, nd)
+        max_tokens = max(max_tokens, int(h[Bp * (nh + nd)]))
+        a_c = h[-2 * nt : -nt]
+        b_c = h[-nt:]
         offs = ((np.arange(nt, dtype=np.int64) // nchunks + d0) * N
                 + (np.arange(nt, dtype=np.int64) % nchunks) * _ADLER_CHUNK)
-        _M = 65521
         s1_sum += int(a_c.sum())
         s2_sum += int((((n - offs) % _M) * a_c - b_c).sum())
-        if keep_tokens:
-            kept[d0] = (tv, td, cnt, n_valid, lsym, dsym, valid)
-        stats.dispatches += 1
     stats.adler = (((n + s2_sum) % 65521) << 16) | ((1 + s1_sum) % 65521)
+    ll_total = ll_blocks.sum(axis=(0, 1))
+    d_total = d_blocks.sum(axis=(0, 1))
 
     # --- one shared table pair: code lengths built ON DEVICE (north star
     # C7: package-merge → sort+prefix ops; ops/entropy.py), one dispatch
@@ -358,64 +374,75 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
     d_len_b = jnp.asarray(np.broadcast_to(d_len, (Bp, d_len.size)))
     enabled = jnp.ones(Bp, bool)
 
-    # --- phase 2: pack + splice
+    # --- phase 2: pack straight to compacted per-span stream images
+    # (pack_payload_turbo_dense) — every span dispatched before ONE fused
+    # [meta, image] readback; the host knows each block's exact word span
+    # from the phase-1 histograms, so no sizing sync is needed
     out_parts: list[bytes] = []
     blocks: list[BlockInfo] = []
     anchor_bit: list[int] = []
     anchor_out: list[int] = []
     anchor_block: list[int] = []
     stream_bit = 0
-    W = (15 * N + 4096) // 32
-    for d0, d1 in spans:
+    R = cfg.pack_row_width(SEG_SIZE)
+    F = 80  # filler slots per block (header + EOB tail words)
+    if hb0 // 32 + 3 > F or hb1 // 32 + 3 > F:
+        raise RuntimeError("dynamic header exceeds the filler budget")
+    L_ = Bp * nseg
+    eob_dev = jnp.int32(eob_len)
+    from ..ops.deflate_kernel import pack_payload_turbo_dense
+
+    layout = []
+    handles2 = []
+    dense_cap = L_ * R + Bp * F
+    for k, (d0, d1) in enumerate(spans):
         B = d1 - d0
-        if keep_tokens:
-            tv, td, cnt, n_valid, lsym, dsym, valid = kept.pop(d0)
-        else:
-            tv, td, cnt, n_valid = run_dispatch(d0, d1)
-            lsym, dsym, valid, _lf, _df = token_symbols(tv, td, cnt, nseg=nseg)
         hdr_bits_arr = np.full(Bp, hb0, np.int32)
         if d1 == nblocks:
             hdr_bits_arr[B - 1] = hb1
-        split_bit_np = split_out_np = None
-        with stats.timer("pack"), trace("zlibes.pack"):
-            if cfg.max_code_bits <= 9:
-                # turbo: tokens are <=32 coded bits, tables stream-wide ->
-                # Pallas field kernel + sort-compacted placement
-                R = cfg.pack_row_width(SEG_SIZE)
-                words, payload_end, lane_bit0, split_bit, split_out = \
-                    pack_payload_turbo(
-                        tv, td, valid,
-                        ll_code_b, ll_len_b, d_code_b, d_len_b,
-                        jnp.asarray(hdr_bits_arr), enabled, nseg=nseg,
-                        W=W, R=R,
-                    )
-            else:
-                words, payload_end, lane_bit0 = pack_payload(
-                    tv, td, lsym, dsym, valid,
-                    ll_code_b, ll_len_b, d_code_b, d_len_b,
-                    jnp.asarray(hdr_bits_arr), enabled, nseg=nseg, W=W,
-                )
-                split_bit = split_out = None
-        # one fused metadata readback per dispatch
-        if split_bit is not None:
-            L_ = lane_bit0.shape[0]
-            meta = np.asarray(jnp.concatenate(
-                [payload_end, lane_bit0, split_bit, split_out]))
-            payload_end_np = meta[:Bp]
-            lane_bit0_np = meta[Bp : Bp + L_]
-            split_bit_np = meta[Bp + L_ : Bp + 2 * L_]
-            split_out_np = meta[Bp + 2 * L_ :]
+        pe_h = np.zeros(Bp, np.int64)
+        for i in range(Bp):
+            pe_h[i] = hdr_bits_arr[i] + _payload_bits(
+                ll_blocks[k, i], d_blocks[k, i], ll_len, d_len)
+        used = (pe_h + eob_len + 31) // 32 + 1
+        blk_off = np.concatenate([[0], np.cumsum(used)]).astype(np.int64)
+        total_pad = min(dense_cap, -(-int(blk_off[-1]) // 2048) * 2048)
+        layout.append((pe_h, blk_off, total_pad, hdr_bits_arr))
+
+        if keep_tokens:
+            tv, td, cnt, valid = kept.pop(d0)
         else:
-            payload_end_np = np.asarray(payload_end)
-            lane_bit0_np = np.asarray(lane_bit0)
-        used_words = np.zeros(B, np.int64)
-        for i in range(B):
-            used_words[i] = (int(payload_end_np[i]) + eob_len + 31) // 32 + 1
-        flat_idx = np.concatenate(
-            [np.arange(used_words[i], dtype=np.int64) + i * W for i in range(B)])
-        dense = np.asarray(gather_compressed(
-            words.reshape(-1), jnp.asarray(flat_idx.astype(np.int32))))
-        offs = np.concatenate([[0], np.cumsum(used_words)]).astype(np.int64)
+            tv, td, cnt, _nv, _aa, _ab = run_dispatch(d0, d1)
+            _ls, _ds, valid, _lf, _df = token_symbols(tv, td, cnt, nseg=nseg)
+        with stats.timer("pack"), trace("zlibes.pack"):
+            dense, pe, lb, sb, so = pack_payload_turbo_dense(
+                tv, td, valid, ll_code_b, ll_len_b, d_code_b, d_len_b,
+                jnp.asarray(hdr_bits_arr), enabled, eob_dev,
+                nseg=nseg, R=R, F=F)
+            meta = jnp.concatenate([pe, lb, sb, so])
+            handles2.append(jnp.concatenate(
+                [meta,
+                 jax.lax.bitcast_convert_type(dense[:total_pad], jnp.int32)]))
+    with stats.timer("readback"):
+        blob = np.asarray(jnp.concatenate(handles2))
+
+    pos = 0
+    for k, (d0, d1) in enumerate(spans):
+        pe_h, blk_off, total_pad, hdr_bits_arr = layout[k]
+        B = d1 - d0
+        n_valid = nv_all[d0]
+        mlen = Bp + 3 * L_
+        meta = blob[pos : pos + mlen]
+        span_dense = blob[pos + mlen : pos + mlen + total_pad]
+        pos += mlen + total_pad
+        payload_end_np = meta[:Bp]
+        lane_bit0_np = meta[Bp : Bp + L_]
+        split_bit_np = meta[Bp + L_ : Bp + 2 * L_]
+        split_out_np = meta[Bp + 2 * L_ :]
+        if not np.array_equal(payload_end_np.astype(np.int64), pe_h):
+            raise RuntimeError(
+                "host/device payload layout desync (per-block histogram "
+                "bit counts disagree with the packed payload ends)")
 
         for i in range(B):
             bi = d0 + i
@@ -424,8 +451,8 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
             out_start = bi * N
             hdr = hdr1 if bfinal else hdr0
             hdr_bits = hb1 if bfinal else hb0
-            w0, w1 = int(offs[i]), int(offs[i + 1])
-            buf = dense[w0:w1].view(np.uint8).copy()
+            buf = span_dense[int(blk_off[i]) : int(blk_off[i + 1])].view(
+                np.uint8).copy()
             end_bits = int(payload_end_np[i])
             hb = np.frombuffer(hdr, dtype=np.uint8)
             buf[: hb.size] |= hb
@@ -437,22 +464,21 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
                 start_bit + hdr_bits, start_bit + end_bits, out_start, nb))
             for s in range(-(-nb // SEG_SIZE)):
                 lane = i * nseg + s
-                lb = int(lane_bit0_np[lane])
-                anchor_bit.append(start_bit + lb)
+                lb_ = int(lane_bit0_np[lane])
+                anchor_bit.append(start_bit + lb_)
                 anchor_out.append(out_start + s * SEG_SIZE)
                 anchor_block.append(len(blocks) - 1)
-                if split_bit_np is None:
-                    continue
                 # mid-segment split anchor (paired decode lanes); when no
                 # token starts at-or-after SUB, the split is the lane end
                 # (empty second half-lane)
                 lane_end = (int(lane_bit0_np[lane + 1]) if s + 1 < nseg
                             else int(payload_end_np[i]))
-                sb, so = int(split_bit_np[lane]), int(split_out_np[lane])
-                if sb >= 1 << 30:
-                    sb, so = lane_end - lb, min(nb - s * SEG_SIZE, SEG_SIZE)
-                anchor_bit.append(start_bit + lb + sb)
-                anchor_out.append(out_start + s * SEG_SIZE + so)
+                sb_, so_ = int(split_bit_np[lane]), int(split_out_np[lane])
+                if sb_ >= 1 << 30:
+                    sb_, so_ = lane_end - lb_, min(nb - s * SEG_SIZE,
+                                                   SEG_SIZE)
+                anchor_bit.append(start_bit + lb_ + sb_)
+                anchor_out.append(out_start + s * SEG_SIZE + so_)
                 anchor_block.append(len(blocks) - 1)
             if bfinal:
                 nbytes = (end_bits + 7) // 8
@@ -488,13 +514,27 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
 
 def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN,
                     config: CodecConfig | None = None,
-                    stats: CodecStats | None = None):
-    """Encode a raw DEFLATE stream on device.  Returns (bytes, StreamIndex)."""
+                    stats: CodecStats | None = None,
+                    dictionary: bytes | None = None):
+    """Encode a raw DEFLATE stream on device.  Returns (bytes, StreamIndex).
+
+    ``dictionary``: preset dictionary (RFC 1950 FDICT) — its 32 KiB tail
+    rides as a context prefix on the FIRST block's dispatch rows (the
+    matcher sees it through ``find_matches(ctx_start=)``, the selector
+    never tokenizes it via ``select_tokens(start=)``); later blocks are
+    self-contained, exactly as without a dictionary.  Runs the general
+    per-block-table path (the shared-tables/turbo profile ignores
+    dictionaries — its 4 KiB window resets could never reach one).
+    """
     from ..utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
     cfg = config or DEFAULT_CONFIG
     stats = stats if stats is not None else CodecStats()
+    # a reused CodecStats must not leak a previous stream's fused Adler
+    # into this call's trailer (paths that don't fold Adler terms into
+    # their dispatches leave it None and deflate() recomputes on device)
+    stats.adler = None
     arr = np.frombuffer(bytes(data), dtype=np.uint8)
     n = arr.size
     stats.bytes_in += n
@@ -513,8 +553,17 @@ def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN,
     if cfg.force_stored:
         return _stored_stream(arr, stats)
 
-    if cfg.shared_tables:
+    dict_np = (np.frombuffer(bytes(dictionary[-C.WINDOW_SIZE:]), np.uint8)
+               if dictionary else None)
+    if cfg.shared_tables and not dictionary:
+        if N % _ADLER_CHUNK:
+            raise ValueError(
+                f"shared-tables encode requires block_size to be a "
+                f"multiple of {_ADLER_CHUNK} (fused Adler tiling); got {N}")
         return _deflate_turbo(arr, N, cfg, stats)
+    # context prefix width: 32 KiB for the dictionary case, 0 otherwise
+    # (zero keeps the compiled programs identical to the plain path)
+    CTX = C.WINDOW_SIZE if dict_np is not None else 0
 
     out_parts: list[bytes] = []
     blocks: list[BlockInfo] = []
@@ -528,25 +577,35 @@ def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN,
         B = d1 - d0
         Bp = cfg.blocks_per_dispatch  # fixed batch → one compiled program set
         stats.dispatches += 1
-        blk_bytes = np.zeros((Bp, N + 8), dtype=np.uint8)
+        blk_bytes = np.zeros((Bp, CTX + N + 8), dtype=np.uint8)
         n_valid = np.zeros(Bp, dtype=np.int32)
+        ctx_np = np.full(Bp, CTX, np.int32)
         for i, bi in enumerate(range(d0, d1)):
             chunk = arr[bi * N : (bi + 1) * N]
-            blk_bytes[i, : chunk.size] = chunk
+            blk_bytes[i, CTX : CTX + chunk.size] = chunk
             n_valid[i] = chunk.size
+        if CTX and d0 == 0:
+            # the dictionary tail prefixes block 0 only; padding below it
+            # (and every other block's whole prefix) is masked from the
+            # matcher via ctx_start
+            blk_bytes[0, CTX - dict_np.size : CTX] = dict_np
+            ctx_np[0] = CTX - dict_np.size
 
         dev_bytes = jnp.asarray(blk_bytes)
-        dev_nv = jnp.asarray(n_valid)
+        dev_nv = jnp.asarray(n_valid) + CTX
+        ctx_dev = jnp.asarray(ctx_np) if CTX else None
         with stats.timer("match"), trace("zlibes.match"):
             if cfg.candidates > 0:
-                matches = find_matches(dev_bytes, dev_nv, N=N,
+                matches = find_matches(dev_bytes, dev_nv, N=CTX + N,
                                        S=cfg.probe_words, J=cfg.candidates,
-                                       reset=cfg.chunk_reset)
+                                       reset=cfg.chunk_reset,
+                                       ctx_start=ctx_dev)
             else:  # level 0: literals only
-                matches = jnp.zeros((Bp, N), jnp.int32)
+                matches = jnp.zeros((Bp, CTX + N), jnp.int32)
         with stats.timer("select"), trace("zlibes.select"):
-            tv, td, cnt = select_tokens(dev_bytes, matches, dev_nv, N=N,
-                                        SEG_SIZE=SEG_SIZE, lazy=cfg.lazy)
+            tv, td, cnt = select_tokens(dev_bytes, matches, dev_nv,
+                                        N=CTX + N, SEG_SIZE=SEG_SIZE,
+                                        lazy=cfg.lazy, start=CTX)
         with stats.timer("symbols"), trace("zlibes.symbols"):
             lsym, dsym, valid, ll_freq, d_freq = token_symbols(tv, td, cnt, nseg=nseg)
         ll_freq_np = np.asarray(ll_freq)
@@ -711,10 +770,14 @@ def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN,
 
 def deflate(data: bytes, block_size: int | None = None, with_index: bool = False,
             level: int | None = None, config: CodecConfig | None = None,
-            stats: CodecStats | None = None):
+            stats: CodecStats | None = None,
+            dictionary: bytes | None = None):
     """zlib-container deflate on the TPU pipeline.
 
     ``level`` (0..9) selects a CodecConfig preset; ``config`` overrides.
+    ``dictionary`` emits an FDICT member (RFC 1950 §2.2): the first
+    block's matcher sees the dictionary tail as a device-side context
+    prefix (deflate_raw_tpu) and the header carries DICTID.
     """
     data = bytes(data)
     if config is None and level is not None:
@@ -722,14 +785,24 @@ def deflate(data: bytes, block_size: int | None = None, with_index: bool = False
     if stats is None:
         stats = CodecStats()
     body, index = deflate_raw_tpu(data, block_size or C.BLOCK_MAX_BUFFER_LEN,
-                                  config=config, stats=stats)
+                                  config=config, stats=stats,
+                                  dictionary=dictionary)
     if stats.adler is not None:
         # device Adler terms rode the encode dispatches (no extra upload)
         trailer = stats.adler.to_bytes(4, "big")
     else:
         arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
         trailer = int(adler32_device(arr, len(data))).to_bytes(4, "big")
-    out = C.ZLIB_HEADER + body + trailer
+    if dictionary is not None:
+        from ..spec.refmodel import adler32 as adler32_host
+
+        flg = 0x20 + (2 << 6)
+        flg += (31 - (0x78 * 256 + flg) % 31) % 31
+        header = bytes([0x78, flg]) + adler32_host(dictionary).to_bytes(
+            4, "big")
+    else:
+        header = C.ZLIB_HEADER
+    out = header + body + trailer
     if with_index:
-        return out, index.shifted(16)
+        return out, index.shifted(len(header) * 8)
     return out

@@ -106,7 +106,7 @@ def _decode_one_block(stream: _Stream, bitpos: int, ll_len, d_len):
 _RESOLVE_WINDOW = 1 << 22  # 4 MiB resolve windows (foreign streams)
 
 
-def _resolve_tokens_np(vals: np.ndarray, dists: np.ndarray,
+def _resolve_tokens_device(vals: np.ndarray, dists: np.ndarray,
                        dictionary: bytes | None = None) -> np.ndarray:
     """Resolve one global token stream into output bytes (device).
 
@@ -161,22 +161,25 @@ def inflate_raw_scan(data: bytes, byte_offset: int = 0,
 
     Returns (output bytes ndarray, list[BlockInfo], end_bit).
 
-    Uses the native C++ scanner when available (the structure pass is the
-    inherently bit-serial part; rapidgzip-style); the extracted token
-    stream is then LZ-resolved ON DEVICE in 4 MiB windows with 32 KiB
-    prefix halos (_resolve_tokens_np → ops.inflate_kernel.resolve_global).
+    Uses the native C++ scanner when available — speculative-parallel
+    over ~1 MB spans (rapidgzip-style: per-span block-boundary search,
+    splice-on-match, serial rescan on mis-speculation); the extracted
+    token stream is then LZ-resolved ON DEVICE in 4 MiB windows with
+    32 KiB prefix halos (_resolve_tokens_device →
+    ops.inflate_kernel.resolve_global).
     Falls back to single-lane device decode when no C++ toolchain exists.
     """
     from ..runtime import native
 
     dict_tail = bytes(dictionary[-C.WINDOW_SIZE:]) if dictionary else None
     if native.available():
-        # the structure pass is inherently bit-serial (rapidgzip-style) and
-        # runs in C++; LZ resolution + output materialization run on device
+        # C++ structure pass: speculative-parallel across ~1 MB spans
+        # (rapidgzip-style; serial per span, bit-identical to a serial
+        # scan); LZ resolution + output materialization run on device
         toks_val, toks_dist, index, end_bit, out_len = native.scan(
             data, bit_offset=byte_offset * 8,
             dict_len=len(dict_tail) if dict_tail else 0)
-        out = _resolve_tokens_np(toks_val.astype(np.int32),
+        out = _resolve_tokens_device(toks_val.astype(np.int32),
                                  toks_dist.astype(np.int32),
                                  dictionary=dict_tail)
         return out, index.blocks, end_bit
@@ -237,7 +240,7 @@ def inflate_raw_scan(data: bytes, byte_offset: int = 0,
             break
     vals = np.concatenate(vals_parts) if vals_parts else np.zeros(0, np.int32)
     dists = np.concatenate(dists_parts) if dists_parts else np.zeros(0, np.int32)
-    out = _resolve_tokens_np(vals, dists, dictionary=dict_tail)
+    out = _resolve_tokens_device(vals, dists, dictionary=dict_tail)
     return out, blocks, br.bitpos
 
 

@@ -33,6 +33,9 @@ def _glue_tokens(tokens_g: jax.Array,  # (T, 8, G) int32 decode-grid tokens
                  base_g: jax.Array,    # (8, G) int32 per-lane sub-span
                                        # offset of the first token (0 for
                                        # even lanes; split-256 for odd)
+                 inv: jax.Array,       # (L,) int32: decoded slot of each
+                                       # ORIGINAL lane (identity when the
+                                       # plan didn't sort decode lanes)
                  T: int, C_pad: int, LB: int = tk.LANE_BLOCK):
     """Token post-pass: start offsets + paired resolve-layout reshape.
 
@@ -78,23 +81,27 @@ def _glue_tokens(tokens_g: jax.Array,  # (T, 8, G) int32 decode-grid tokens
     cross_t = jnp.sum(jnp.where(cross, toks, 0), axis=0)
     cross_s = jnp.sum(jnp.where(cross, starts, 0), axis=0) - tk.SUB
 
-    # small per-lane arrays to lane order; odd rows prepend the PREVIOUS
-    # (even) lane's crossing token — a one-lane shift, no strided slicing
-    def lane_vec(v):  # (8, G) grid -> (L,) lane-ordered
+    # small per-lane arrays to ORIGINAL lane order (undoing any decode-
+    # lane sort via ``inv``); odd rows prepend the PREVIOUS (even) lane's
+    # crossing token — a one-lane shift, no strided slicing
+    def lane_vec(v):  # (8, G) grid -> (L,) decoded-lane order
         return jnp.transpose(v.reshape(8, NL, GB), (1, 0, 2)).reshape(L)
 
-    use0 = jnp.pad(lane_vec(has_cross), (1, 0))[:L] \
+    use0 = jnp.pad(lane_vec(has_cross)[inv], (1, 0))[:L] \
         & ((jnp.arange(L, dtype=jnp.int32) & 1) == 1)
-    slot0_t = jnp.pad(lane_vec(cross_t), (1, 0))[:L]
-    slot0_s = jnp.pad(lane_vec(cross_s), (1, 0))[:L]
+    slot0_t = jnp.pad(lane_vec(cross_t)[inv], (1, 0))[:L]
+    slot0_s = jnp.pad(lane_vec(cross_s)[inv], (1, 0))[:L]
     u3 = use0.reshape(C_pad, spc).T[:, :, None]
     pe = tk.TOKENS_PAD - T
 
     def relayout(x, slot0, fill):
-        # one transpose: (T, 8, NL, GB/spc, spc) -> (spc, chunk dims, T);
-        # lane l = i*LB + r*GB + c sits at chunk l//spc, sub-span l%spc
-        x = x.reshape(T, 8, NL, GB // spc, spc)
-        rows = jnp.transpose(x, (4, 2, 1, 3, 0)).reshape(spc, C_pad, T)
+        # decode grid -> lane-major rows -> original lane order (row
+        # gather by ``inv``) -> resolve layout; lane l = i*LB + r*GB + c
+        # feeds chunk l//spc, sub-span l%spc
+        y = jnp.transpose(x.reshape(T, 8, NL, GB), (2, 1, 3, 0)
+                          ).reshape(L, T)
+        y = jnp.take(y, inv, axis=0)
+        rows = jnp.transpose(y.reshape(C_pad, spc, T), (1, 0, 2))
         rows = jnp.pad(rows, ((0, 0), (0, 0), (0, pe)),
                        constant_values=fill)
         s3 = slot0.reshape(C_pad, spc).T[:, :, None]
@@ -155,16 +162,27 @@ class TurboPlan:
     """Host-prepared device arrays for one turbo stream (reusable)."""
 
     __slots__ = ("words", "starts_w", "shift_idx", "bit0", "endb", "lt", "dt",
-                 "base_g", "L", "L_pad", "C_pad", "T", "LB", "total_out",
-                 "lane_end_check")
+                 "base_g", "inv", "L", "L_pad", "C_pad", "T", "LB",
+                 "total_out", "lane_end_check")
 
     @staticmethod
     def build(data: bytes, index: StreamIndex,
               lane_block: int = tk.LANE_BLOCK,
-              min_lanes: int = 0) -> "TurboPlan":
+              min_lanes: int = 0,
+              sort_lanes: bool = True,
+              sort_shards: int = 1) -> "TurboPlan":
         """``min_lanes`` pads the lane count further (power of two, multiple
         of ``lane_block``) so a mesh-sharded run can give every device a
-        whole number of lane blocks."""
+        whole number of lane blocks.
+
+        ``sort_lanes`` orders decode lanes by descending bit-span (a
+        monotone proxy for token count): the decode kernel's lock-step
+        loop runs each LANE_BLOCK grid block to its own max token count,
+        so grouping similar-length lanes lets literal-light blocks exit
+        after ~tens of iterations instead of the global max (~257).  The
+        glue stage restores original order via ``plan.inv``.
+        ``sort_shards`` > 1 sorts within L_pad/sort_shards-lane spans so a
+        mesh-sharded run keeps every lane on its original device."""
         from .inflate_pipeline import _block_code_lengths
 
         if not getattr(index, "turbo", False):
@@ -216,34 +234,59 @@ class TurboPlan:
         blocks = np.zeros((nb, 128), np.int32)
         blocks.reshape(-1)[: words.size] = words.view(np.int32)
         p.words = jnp.asarray(blocks)
-        sw = np.zeros(p.L_pad, np.int32)
-        sw[:L] = A
-        p.starts_w = jnp.asarray(sw)
-        rs = np.zeros(p.L_pad, np.int32)
-        rs[:L] = resid
-        p.shift_idx = jnp.asarray(rs[:, None]
-                                  + np.arange(128, dtype=np.int32)[None, :])
-        p.bit0 = jnp.asarray(_lane_grid(bit0_in, p.L_pad, lane_block))
-        p.endb = jnp.asarray(_lane_grid(endb_in, p.L_pad, lane_block))
-        p.lane_end_check = endb_in
+
+        # full-width per-lane host arrays (padded lanes: empty spans)
+        def full(vals, dtype=np.int32):
+            x = np.zeros(p.L_pad, dtype)
+            x[:L] = vals
+            return x
+
+        sw = full(A)
+        rs = full(resid)
+        b0 = full(bit0_in)
+        eb = full(endb_in)
         # per-lane first-token offset in SUB-span coordinates (odd lanes'
         # within-segment split offset is rebased by -SUB here, once)
-        br = np.zeros(p.L_pad, np.int32)
-        br[:L] = base_rel.astype(np.int32)
+        br = full(base_rel.astype(np.int32))
         br[1::2] -= tk.SUB
         br[1::2] = np.maximum(br[1::2], 0)  # short final / padded lanes
-        p.base_g = jnp.asarray(_lane_grid(br, p.L_pad, lane_block))
+        br[L:] = 0
+
+        # decode-lane sort (see build docstring): heavy lanes first within
+        # each sort shard; ``inv`` restores original order in the glue
+        span = full((end_abs - bit0_abs).astype(np.int32))
+        if sort_lanes:
+            assert p.L_pad % sort_shards == 0
+            ssz = p.L_pad // sort_shards
+            perm = np.concatenate([
+                np.argsort(-span[s : s + ssz], kind="stable") + s
+                for s in range(0, p.L_pad, ssz)])
+        else:
+            perm = np.arange(p.L_pad)
+        inv = np.argsort(perm, kind="stable")
+        inv_local = (inv - (np.arange(p.L_pad) // (p.L_pad // sort_shards))
+                     * (p.L_pad // sort_shards)).astype(np.int32)
+        p.inv = jnp.asarray(inv_local)
+
+        p.starts_w = jnp.asarray(sw[perm])
+        p.shift_idx = jnp.asarray(rs[perm][:, None]
+                                  + np.arange(128, dtype=np.int32)[None, :])
+        p.bit0 = jnp.asarray(_lane_grid(b0[perm], p.L_pad, lane_block))
+        p.endb = jnp.asarray(_lane_grid(eb[perm], p.L_pad, lane_block))
+        p.lane_end_check = eb[perm]
+        p.base_g = jnp.asarray(_lane_grid(br[perm], p.L_pad, lane_block))
         p.lt = jnp.asarray(lt)
         p.dt = jnp.asarray(dt)
         return p
 
     def check_meta(self, meta: np.ndarray) -> None:
         """Validate decode metadata (lane-grid column layout -> lane order
-        matches token columns: lane l is column l of the (8, L) meta)."""
-        L = self.L
-        if meta[2, :L].any() or meta[3, :L].any():
+        matches token columns: decoded lane i is column i of the (8, L_pad)
+        meta; padded/empty lanes must end where they start — 0 == 0)."""
+        Lp = self.L_pad
+        if meta[2, :Lp].any() or meta[3, :Lp].any():
             raise CorruptError("invalid Huffman data in turbo lane")
-        if not (meta[1, :L] == self.lane_end_check).all():
+        if not (meta[1, :Lp] == self.lane_end_check).all():
             raise CorruptError("turbo lane did not end at its anchor")
 
 
@@ -260,7 +303,8 @@ def run_turbo(plan: TurboPlan, check: bool = True):
     if check:
         plan.check_meta(np.asarray(_from_grid(meta_g, LB=plan.LB)))
     toks16, starts16 = _glue_tokens(tokens_g, meta_g[0], plan.base_g,
-                                    T=plan.T, C_pad=plan.C_pad, LB=plan.LB)
+                                    plan.inv, T=plan.T, C_pad=plan.C_pad,
+                                    LB=plan.LB)
     return tk.resolve_turbo(toks16, starts16)
 
 

@@ -20,7 +20,9 @@ class CodecConfig:
 
     block_size: int = C.BLOCK_MAX_BUFFER_LEN  # bytes per DEFLATE block
     seg_size: int = 4096       # greedy-selection segment / decode anchor span
-    probe_words: int = 32      # match-length probe u32s (cap = 4*S+3 bytes)
+    probe_words: int = 16      # match-length probe u32s (cap = 4*S+3 bytes;
+    # the round-4 sweep put S=16/J=24 at +0.054% size vs S=32/J=24 for
+    # half the matcher sort operands — deep probes live in levels 8-9)
     candidates: int = 24       # sorted-order match candidates per position
     lazy: bool = True          # one-step lazy matching
     blocks_per_dispatch: int = 16
@@ -83,15 +85,21 @@ class CodecConfig:
         if level == 0:
             return CodecConfig(probe_words=1, candidates=0, lazy=False,
                                force_stored=True)
+        # measured on raw.bin (tools/sweep: round 4): candidates J buy
+        # ratio, probe depth S barely does — S=16/J=24 is +0.054% vs
+        # S=32/J=24 (191419 vs 191316 B, ref bar 191734) while halving
+        # the matcher's sort operands (the compile-time and run-time
+        # driver of the whole encode).  Deep probes are reserved for the
+        # top levels.
         table = {
             1: dict(probe_words=4, candidates=2, lazy=False),
             2: dict(probe_words=4, candidates=4, lazy=False),
             3: dict(probe_words=8, candidates=4, lazy=False),
             4: dict(probe_words=8, candidates=8, lazy=False),
             5: dict(probe_words=8, candidates=8, lazy=True),
-            6: dict(probe_words=32, candidates=24, lazy=True),
-            7: dict(probe_words=32, candidates=32, lazy=True),
-            8: dict(probe_words=24, candidates=32, lazy=True),
+            6: dict(probe_words=16, candidates=24, lazy=True),
+            7: dict(probe_words=16, candidates=32, lazy=True),
+            8: dict(probe_words=24, candidates=40, lazy=True),
             9: dict(probe_words=32, candidates=48, lazy=True),
         }
         return CodecConfig(**table[level])

@@ -344,8 +344,7 @@ def pack_payload_fast(
     return words.reshape(B, W), payload_end, lane_bit0
 
 
-@partial(jax.jit, static_argnames=("nseg", "W", "R"))
-def pack_payload_turbo(
+def _pack_rows_turbo(
     toks_val: jax.Array,    # int32 (L, T)
     toks_dist: jax.Array,   # int32 (L, T)
     valid: jax.Array,       # bool (L, T)
@@ -356,11 +355,10 @@ def pack_payload_turbo(
     hdr_bits: jax.Array,    # int32 (B,)
     enabled: jax.Array,     # bool (B,)
     nseg: int,
-    W: int,                 # u32 words per block buffer
     R: int,                 # u32 words per lane row (>= max lane bits/32 + 2)
 ):
-    """Shared-table payload packing (turbo profile): Pallas field kernel +
-    sort-compacted word placement.
+    """Shared turbo pack core: Pallas field kernel + per-lane sort
+    compaction of run-end words into (L, R) lane rows.
 
     Replaces pack_payload_fast's two (tokens × alphabet) one-hot matmul
     lookups with banked vreg gathers (ops/encode_kernel.py) and its
@@ -370,8 +368,10 @@ def pack_payload_turbo(
     one run-end token and compacting run-ends by word index IS the word
     buffer.  Symbol mapping happens in-kernel — no lsym/dsym inputs.
 
-    Returns (words (B, W), payload_end (B,), lane_bit0 (L,),
-    split_bit (L,), split_out (L,)): the last two are the mid-segment
+    Returns (rows (L, R) uint32, lane_tot (L,), lane_bit0 (L,),
+    payload_end (B,), split_bit (L,), split_out (L,)); rows[l, j] is word
+    j of lane l's coded bit run, relative to the lane's first stream word
+    (lane_bit0 >> 5).  split_bit/split_out are the mid-segment
     anchor split — bit/output offsets (relative to the lane's first token)
     of the first token starting at-or-after output byte SUB of the lane,
     2^30 when every token starts earlier (the caller anchors the split at
@@ -440,6 +440,51 @@ def pack_payload_turbo(
     main = jnp.where(ok, sacc[:, :R], 0)
     carry = jnp.where(ok, sc1[:, :R], 0)
     rows = main | jnp.pad(carry, ((0, 0), (1, 0)))[:, :R]
+    lane_tot_masked = jnp.where(enabled[blk1], lane_tot, 0)
+    return rows, lane_tot_masked, lane_bit0, payload_end, split_bit, split_out
+
+
+@partial(jax.jit, static_argnames=("nseg", "W", "R"))
+def pack_payload_turbo(
+    toks_val: jax.Array,    # int32 (L, T)
+    toks_dist: jax.Array,   # int32 (L, T)
+    valid: jax.Array,       # bool (L, T)
+    ll_code: jax.Array,     # uint32 (B, 288) bit-reversed codes (LSB-first)
+    ll_len: jax.Array,      # int32 (B, 288)
+    d_code: jax.Array,      # uint32 (B, 32)
+    d_len: jax.Array,       # int32 (B, 32)
+    hdr_bits: jax.Array,    # int32 (B,) header length (incl. 3-bit prefix)
+    enabled: jax.Array,     # bool (B,) pack this block (not stored)
+    nseg: int,
+    W: int,                 # u32 words per block buffer
+    R: int,                 # u32 words per lane row (>= max lane bits/32 + 2)
+):
+    """Shared-table payload packing (turbo profile): Pallas field kernel +
+    sort-compacted word placement into per-block W-word buffers.
+
+    Replaces pack_payload_fast's two (tokens x alphabet) one-hot matmul
+    lookups with banked vreg gathers (ops/encode_kernel.py) and its
+    (L, T, R) one-hot placement matmul with a 3-operand per-lane sort:
+    tokens' word indices advance by <=1 (every coded token fits 32 bits,
+    CodecConfig.turbo()'s split_far contract), so each word owns exactly
+    one run-end token and compacting run-ends by word index IS the word
+    buffer.  Symbol mapping happens in-kernel — no lsym/dsym inputs.
+
+    Returns (words (B, W), payload_end (B,), lane_bit0 (L,),
+    split_bit (L,), split_out (L,)): the last two are the mid-segment
+    anchor split — bit/output offsets (relative to the lane's first token)
+    of the first token starting at-or-after output byte SUB of the lane,
+    2^30 when every token starts earlier (the caller anchors the split at
+    the lane end).  They pair each SEG-byte lane into two decode lanes for
+    the lock-step inflate kernel (ops/turbo_kernel.py: SUB/SEG_SPAN).
+    """
+    L, T = toks_val.shape
+    B = L // nseg
+    rows, _lt, lane_bit0, payload_end, split_bit, split_out = \
+        _pack_rows_turbo(toks_val, toks_dist, valid, ll_code, ll_len,
+                         d_code, d_len, hdr_bits, enabled, nseg, R)
+    blk1 = jnp.arange(L, dtype=jnp.int32) // nseg
+    lane_word0 = lane_bit0 >> 5
 
     # splice lane rows into block buffers (single-word overlaps at lane
     # boundaries are disjoint-bit, so add == or)
@@ -452,6 +497,98 @@ def pack_payload_turbo(
         rows.reshape(-1), mode="drop")[: B * W]
 
     return words.reshape(B, W), payload_end, lane_bit0, split_bit, split_out
+
+
+@partial(jax.jit, static_argnames=("nseg", "R", "F"))
+def pack_payload_turbo_dense(
+    toks_val: jax.Array,    # int32 (L, T)
+    toks_dist: jax.Array,   # int32 (L, T)
+    valid: jax.Array,       # bool (L, T)
+    ll_code: jax.Array,     # uint32 (B, 288) bit-reversed codes (LSB-first)
+    ll_len: jax.Array,      # int32 (B, 288)
+    d_code: jax.Array,      # uint32 (B, 32)
+    d_len: jax.Array,       # int32 (B, 32)
+    hdr_bits: jax.Array,    # int32 (B,) header length (incl. 3-bit prefix)
+    enabled: jax.Array,     # bool (B,)
+    eob_len: jax.Array,     # int32 scalar: EOB code length (sizes the
+                            # per-block tail word the host ORs EOB into)
+    nseg: int,
+    R: int,                 # u32 words per lane row (>= max lane bits/32 + 2)
+    F: int = 80,            # filler slots per block (>= header words + 3)
+):
+    """Turbo pack straight to a COMPACTED stream image (round 4).
+
+    Replaces pack_payload_turbo's per-block W-word buffers + host-driven
+    gather_compressed download (a ~620K-index scatter-add plus an extra
+    device round-trip) with device-side dense compaction:
+
+      1. per-lane exclusive word regions: lane l owns dense words
+         [blk_off[b] + W0[l], ... + W0[l+1]) of its block's compacted
+         span (the last content lane extends to the block's used_words =
+         (payload_end + eob_len + 31) // 32 + 1, covering the EOB tail
+         word the host fills);
+      2. the ONE shared word at each lane boundary is pre-merged (lane
+         l+1's word 0 ORs lane l's carry — bit-disjoint by construction);
+      3. a single global 2-operand sort by dense position splices every
+         lane row AND compacts across blocks in one shot — no scatter.
+         Filler elements cover each block's header words (device leaves
+         [0, hdr_bits) zero for the host to OR the header into).
+
+    The caller must know used_words exactly (it does: phase-1 per-block
+    histograms x the shared code lengths give payload_end bit-exactly),
+    so the downloaded image needs no device round-trip to size.
+
+    Returns (dense (L*R + B*F,) uint32 — the first sum(used_words) words
+    are the compacted stream image — payload_end (B,), lane_bit0 (L,),
+    split_bit (L,), split_out (L,)).
+    """
+    L, T = toks_val.shape
+    B = L // nseg
+    rows, lane_tot, lane_bit0, payload_end, split_bit, split_out = \
+        _pack_rows_turbo(toks_val, toks_dist, valid, ll_code, ll_len,
+                         d_code, d_len, hdr_bits, enabled, nseg, R)
+    lane_id = jnp.arange(L, dtype=jnp.int32)
+    blk1 = lane_id // nseg
+    used_words = (payload_end + eob_len + 31) // 32 + 1      # (B,)
+    blk_off = jnp.cumsum(used_words) - used_words
+    W0 = lane_bit0 >> 5
+    lane_in_blk = lane_id % nseg
+    is_last = lane_in_blk == nseg - 1
+    has_bits = lane_tot > 0
+    W0_next = jnp.pad(W0, (0, 1))[1:]
+    succ_has = jnp.pad(has_bits, (0, 1))[1:] & ~is_last
+    # empty segment lanes only trail a block (every covered segment emits
+    # >= 1 token), so a content lane with no content successor owns the
+    # block's tail words through used_words
+    n_l = jnp.where(has_bits,
+                    jnp.where(succ_has, W0_next - W0, used_words[blk1] - W0),
+                    0)
+    # pre-merge the shared boundary word into the successor's word 0
+    carry = jnp.take_along_axis(rows, jnp.clip(n_l, 0, R - 1)[:, None],
+                                axis=1)[:, 0]
+    carry_in = jnp.pad(carry, (1, 0))[:L]
+    carry_in = jnp.where(lane_in_blk == 0, 0, carry_in)
+    rows = jnp.concatenate(
+        [rows[:, :1] | carry_in[:, None].astype(rows.dtype), rows[:, 1:]],
+        axis=1)
+
+    BIGK = jnp.int32(0x3FFFFFFF)
+    jrel = jax.lax.broadcasted_iota(jnp.int32, (L, R), 1)
+    gkey = jnp.where(jrel < n_l[:, None],
+                     (blk_off[blk1] + W0)[:, None] + jrel, BIGK)
+    # filler: the header words of content blocks, or the whole used span
+    # of content-free (empty / padded) blocks
+    blk_has = jnp.any(has_bits.reshape(B, nseg), axis=1)
+    fill_n = jnp.where(blk_has, hdr_bits >> 5, used_words)
+    fm = jax.lax.broadcasted_iota(jnp.int32, (B, F), 1)
+    fkey = jnp.where(fm < fill_n[:, None], blk_off[:, None] + fm, BIGK)
+
+    keys = jnp.concatenate([gkey.reshape(-1), fkey.reshape(-1)])
+    vals = jnp.concatenate([rows.reshape(-1),
+                            jnp.zeros(B * F, rows.dtype)])
+    _, dense = jax.lax.sort((keys, vals), dimension=0, is_stable=False,
+                            num_keys=1)
+    return dense, payload_end, lane_bit0, split_bit, split_out
 
 
 @jax.jit

@@ -65,6 +65,13 @@ def find_matches(
     two_phase: bool = False,  # rank candidates by their first probe word
                        # and exact-evaluate only the top two (the turbo
                        # speed profile; ~2x less matcher memory traffic)
+    ctx_start: jax.Array | None = None,  # int32 (B,): first REAL byte of
+                       # each row.  Rows with a context prefix (preset
+                       # dictionary, RFC 1950 FDICT) left-pad it to a fixed
+                       # width; positions below ctx_start are padding that
+                       # the decoder does not have, so they must never be
+                       # match sources (they'd emit distances reaching
+                       # beyond dictionary + output — invalid streams)
 ):
     """Best match per position: packed int32 ``(len << 16) | dist``.
 
@@ -82,8 +89,11 @@ def find_matches(
     )
     pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
     key = (w32 & 0xFFFFFF).astype(jnp.int32)
-    # invalidate tail keys (need 3 readable bytes) with unique sentinels
+    # invalidate tail keys (need 3 readable bytes) and context-padding
+    # keys with unique sentinels
     valid_key = pos + 3 <= n_valid[:, None]
+    if ctx_start is not None:
+        valid_key = valid_key & (pos >= ctx_start[:, None])
     key = jnp.where(valid_key, key, 0x1000000 + pos)
 
     # the S probe windows ride the sort as extra operands (a multi-operand
@@ -244,6 +254,8 @@ def find_matches(
     run_ok = (run_ml >= C.MIN_MATCH) & (pos >= 1)
     if reset:
         run_ok = run_ok & (pos % reset != 0)  # dist-1 source is pos-1
+    if ctx_start is not None:
+        run_ok = run_ok & (pos - 1 >= ctx_start[:, None])
     cur_ml = packed >> 16
     use_run = run_ok & (run_ml > cur_ml)
     packed = jnp.where(use_run, (run_ml << 16) | 1, packed)

@@ -265,14 +265,11 @@ def _tab_gather(tab, idx):
     return out
 
 
-def _plane_select(planes, p):
-    """Per-lane word fetch from lane-grid word-planes.
-
-    planes: (SW, 8, G) — plane w holds word w of every lane in lane-grid
-    layout; p: (8, G) per-lane word indices.  Log-tree select: SW-1 vreg
-    selects total (the per-lane stream refill has no gather-friendly
-    layout on this hardware — dynamic_gather only runs along the minor
-    axis of a shape-matched 2D operand)."""
+def _list_select(cands, p):
+    """Log-tree select of cands[p] per lane over a list of lane-grid
+    vregs; len(cands)-1 vreg selects total (the per-lane stream refill
+    has no gather-friendly layout on this hardware — dynamic_gather only
+    runs along the minor axis of a shape-matched 2D operand)."""
     def pow2_tree(cands, p):
         bit = 0
         while len(cands) > 1:
@@ -284,15 +281,32 @@ def _plane_select(planes, p):
 
     def sel(lo, n, p):
         if n == 1:
-            return planes[lo]
+            return cands[lo]
         n2 = 1 << (n.bit_length() - 1)
         if n2 == n:
-            return pow2_tree([planes[lo + w] for w in range(n)], p)
-        a = pow2_tree([planes[lo + w] for w in range(n2)], p)
+            return pow2_tree([cands[lo + w] for w in range(n)], p)
+        a = pow2_tree([cands[lo + w] for w in range(n2)], p)
         b = sel(lo + n2, n - n2, p - n2)
         return jnp.where(p < n2, a, b)
 
-    return sel(0, planes.shape[0], p)
+    return sel(0, len(cands), p)
+
+
+def _plane_select(planes, p):
+    """Per-lane word fetch from (SW, 8, G) lane-grid word-planes."""
+    return _list_select([planes[w] for w in range(planes.shape[0])], p)
+
+
+def _plane_pair_select(planes, q):
+    """Per-lane fetch of the word PAIR (2q, 2q+1): two SW/2-1-select trees
+    sharing one index vreg — half the per-word select cost of two
+    _plane_select calls, the decode loop's refill win (round-4 paired
+    refill: insert 64 bits every two tokens, so the refill cursor stays
+    pair-aligned and only SW/2 positions are addressable)."""
+    SW = planes.shape[0]
+    lo = _list_select([planes[2 * w] for w in range(SW // 2)], q)
+    hi = _list_select([planes[2 * w + 1] for w in range(SW // 2)], q)
+    return lo, hi
 
 
 def _shl(x, s):
@@ -312,63 +326,74 @@ def _shr32m(x, s):
 
 def _decode_kernel(lt_ref, dt_ref, planes_ref, bit0_ref, endb_ref,
                    tok_ref, meta_ref, *, T: int):
+    """Paired-refill lock-step decode: TWO tokens per loop iteration, ONE
+    64-bit (word-pair) refill per iteration.
+
+    The buffer is 128 bits (b0..b3).  split_far caps every coded token at
+    32 bits, so a token pair consumes <= 64 bits — exactly the refill
+    rate — and the word cursor stays pair-aligned, so the refill select
+    runs over SW/2 pair positions (two 47-select trees sharing one index
+    vreg) instead of one 95-select tree per token: half the refill cost,
+    which round-3 profiling put at ~60% of the decode loop.
+
+    Invariant: nbits >= 65 at each pair start (init 128 - (bit0 & 31) >=
+    97; consume <= 64; refill +64 whenever nbits <= 64), so both tokens
+    always see >= 33 valid buffer bits.  Corrupt streams can break the
+    <=32-bit token contract and drain the buffer — they then decode
+    garbage that the endb / error-flag meta checks reject (all shift
+    amounts are clamped, so execution stays defined)."""
     SW = planes_ref.shape[0]
     planes = planes_ref[:]
     lt = lt_ref[:]
     dt = dt_ref[:]
-    bit0 = bit0_ref[:]      # (8, G) lane-grid
+    bit0 = bit0_ref[:]      # (8, G) lane-grid, values in [0, 32)
     endb = endb_ref[:]
+    T2 = (T + 1) // 2
 
-    # --- initial buffer fill: 2 words at the aligned word below bit0
-    p0 = bit0 >> 5
+    # --- initial fill: lanes start inside word 0 (bit0 < 32), so the
+    # first four words are static plane reads — no select tree
     s0 = (bit0 & 31).astype(jnp.uint32)
-    wa = _plane_select(planes, p0).astype(jnp.uint32)
-    wb = _plane_select(planes, p0 + 1).astype(jnp.uint32)
-    # discard the s0 already-consumed bits: buffer holds bits from bit0 on
-    lo0 = (wa >> s0) | _shl32m(wb, s0)
-    mid0 = wb >> s0
-    nbits0 = (jnp.int32(64) - (bit0 & 31)).astype(jnp.int32)
+    w = [planes[i].astype(jnp.uint32) for i in range(4)]
+    b0 = (w[0] >> s0) | _shl32m(w[1], s0)
+    b1 = (w[1] >> s0) | _shl32m(w[2], s0)
+    b2 = (w[2] >> s0) | _shl32m(w[3], s0)
+    b3 = w[3] >> s0
+    nbits0 = (jnp.int32(128) - (bit0 & 31)).astype(jnp.int32)
 
-    def cond(state):
-        t, *_rest, active_i, _err, _cnt = state
-        return (t < T) & (jnp.max(active_i) > 0)
-
-    def body(state):
-        (t, bitpos, p, lo, mid, hi, nbits, active_i, err_i, count) = state
-        active = active_i > 0
-        err = err_i > 0
+    def one_token(b, bitpos, active, err, count):
+        b0, b1, b2, b3 = b
         # --- litlen symbol
-        e = _tab_gather(lt, (lo & (TABLE - 1)).astype(jnp.int32))
+        e = _tab_gather(lt, (b0 & (TABLE - 1)).astype(jnp.int32))
         ln = e & 15
         kind = (e >> 4) & 3
         eb = (e >> 6) & 7
         base = (e >> 9) & 511
         lnu = ln.astype(jnp.uint32)
-        extra = ((lo >> lnu) & ((jnp.uint32(1) << eb.astype(jnp.uint32)) - 1)
+        extra = ((b0 >> lnu) & ((jnp.uint32(1) << eb.astype(jnp.uint32)) - 1)
                  ).astype(jnp.int32)
         val = jnp.where(kind == _KIND_LEN, base + extra, base)
         k1 = (ln + eb).astype(jnp.uint32)  # 1..14 (0 only for invalid codes)
-        # consume k1 from the 96-bit buffer
-        lo = (lo >> k1) | _shl32m(mid, k1)
-        mid = (mid >> k1) | _shl32m(hi, k1)
-        hi = hi >> k1
+        b0 = (b0 >> k1) | _shl32m(b1, k1)
+        b1 = (b1 >> k1) | _shl32m(b2, k1)
+        b2 = (b2 >> k1) | _shl32m(b3, k1)
+        b3 = b3 >> k1
         # --- distance symbol (result masked out for literals/EOB)
-        de = _tab_gather(dt, (lo & (TABLE - 1)).astype(jnp.int32))
+        de = _tab_gather(dt, (b0 & (TABLE - 1)).astype(jnp.int32))
         dln = de & 15
         deb = (de >> 4) & 15
         dbase = (de >> 8) & 0x7FFF
         dlnu = dln.astype(jnp.uint32)
-        dex = ((lo >> dlnu) & ((jnp.uint32(1) << deb.astype(jnp.uint32)) - 1)
+        dex = ((b0 >> dlnu) & ((jnp.uint32(1) << deb.astype(jnp.uint32)) - 1)
                ).astype(jnp.int32)
         dist = dbase + dex
         is_len = kind == _KIND_LEN
         is_eob = kind == _KIND_EOB
         k2 = jnp.where(is_len, dln + deb, 0).astype(jnp.uint32)  # 0..19
-        lo = (lo >> k2) | _shl32m(mid, k2)
-        mid = (mid >> k2) | _shl32m(hi, k2)
-        hi = hi >> k2
+        b0 = (b0 >> k2) | _shl32m(b1, k2)
+        b1 = (b1 >> k2) | _shl32m(b2, k2)
+        b2 = (b2 >> k2) | _shl32m(b3, k2)
+        b3 = b3 >> k2
         k = (k1 + k2).astype(jnp.int32)
-        nbits = nbits - k
         newpos = bitpos + jnp.where(active, k, 0)
         bad = ((ln == 0) | (kind == _KIND_INVALID)
                | (is_len & ((dln == 0) | (dist > TOK_DIST_MASK)))
@@ -377,37 +402,60 @@ def _decode_kernel(lt_ref, dt_ref, planes_ref, bit0_ref, endb_ref,
         tok = jnp.where(
             is_len, val | (dist << TOK_DIST_SHIFT) | TOK_MATCH_BIT, val)
         tok = jnp.where(emit, tok, 0)
-        tok_ref[pl.ds(t, 1)] = tok[None]
         count = count + emit.astype(jnp.int32)
         err = err | (active & bad)
         bitpos = jnp.where(active & ~bad, newpos, bitpos)
         active = active & ~bad & ~is_eob & (newpos < endb)
-        # --- refill: one word when there is space (stall-free: the turbo
-        # encoder splits far long matches so no token exceeds 32 bits)
+        return (b0, b1, b2, b3), k, tok, bitpos, active, err, count
+
+    def cond(state):
+        t, *_rest, active_i, _err, _cnt = state
+        return (t < T2) & (jnp.max(active_i) > 0)
+
+    def body(state):
+        (t, bitpos, q, b0, b1, b2, b3, nbits, active_i, err_i, count) = state
+        active = active_i > 0
+        err = err_i > 0
+        b, kA, tokA, bitpos, active, err, count = one_token(
+            (b0, b1, b2, b3), bitpos, active, err, count)
+        b, kB, tokB, bitpos, active, err, count = one_token(
+            b, bitpos, active, err, count)
+        b0, b1, b2, b3 = b
+        tok_ref[pl.ds(t * 2, 1)] = tokA[None]
+        tok_ref[pl.ds(t * 2 + 1, 1)] = tokB[None]
+        nbits = nbits - kA - kB
+        # --- paired refill: insert words (2q, 2q+1) at bit offset nbits
         need = nbits <= 64
-        w = _plane_select(planes, jnp.minimum(jnp.where(need, p, 0), SW - 1)
-                          ).astype(jnp.uint32)
-        s = nbits.astype(jnp.uint32)  # insertion offset, 0..64 when needed
-        s31 = s & 31
-        in_lo = jnp.where(s < 32, _shl(w, s31), 0)
-        in_mid = jnp.where(s < 32, _shr32m(w, s31),
-                           jnp.where(s < 64, _shl(w, s31), 0))
-        in_hi = jnp.where(s < 32, 0,
-                          jnp.where(s < 64, _shr32m(w, s31), w))
-        lo = jnp.where(need, lo | in_lo, lo)
-        mid = jnp.where(need, mid | in_mid, mid)
-        hi = jnp.where(need, hi | in_hi, hi)
-        p = p + need.astype(jnp.int32)
-        nbits = nbits + jnp.where(need, 32, 0)
-        return (t + 1, bitpos, p, lo, mid, hi, nbits,
+        qc = jnp.minimum(jnp.where(need, q, 0), SW // 2 - 1)
+        wlo, whi = _plane_pair_select(planes, qc)
+        wlo = wlo.astype(jnp.uint32)
+        whi = whi.astype(jnp.uint32)
+        s = jnp.clip(nbits, 0, 64)
+        s31 = (s & 31).astype(jnp.uint32)
+        j0 = s < 32
+        j1 = (s >= 32) & (s < 64)
+        j2 = s >= 64
+        t0 = _shl(wlo, s31)
+        t1 = _shr32m(wlo, s31) | _shl(whi, s31)
+        t2 = _shr32m(whi, s31)
+        zero = jnp.zeros_like(t0)
+        b0 = jnp.where(need & j0, b0 | t0, b0)
+        b1 = jnp.where(need, b1 | jnp.where(j0, t1, jnp.where(j1, t0, zero)),
+                       b1)
+        b2 = jnp.where(need, b2 | jnp.where(j0, t2, jnp.where(j1, t1, t0)),
+                       b2)
+        b3 = jnp.where(need & ~j0, b3 | jnp.where(j1, t2, t1), b3)
+        q = q + need.astype(jnp.int32)
+        nbits = nbits + jnp.where(need, 64, 0)
+        return (t + 1, bitpos, q, b0, b1, b2, b3, nbits,
                 active.astype(jnp.int32), err.astype(jnp.int32), count)
 
     G = bit0.shape
     active0 = (bit0 < endb).astype(jnp.int32)
     zero = jnp.zeros(G, jnp.int32)
-    state = (jnp.int32(0), bit0, p0 + 2, lo0, mid0, jnp.zeros(G, jnp.uint32),
+    state = (jnp.int32(0), bit0, jnp.full(G, 2, jnp.int32), b0, b1, b2, b3,
              nbits0, active0, zero, zero)
-    (t, bitpos, _p, _lo, _mid, _hi, _nb, active_i, err_i, count
+    (t, bitpos, _q, _b0, _b1, _b2, _b3, _nb, active_i, err_i, count
      ) = jax.lax.while_loop(cond, body, state)
     meta_ref[0] = count
     meta_ref[1] = bitpos

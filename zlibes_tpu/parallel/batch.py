@@ -35,8 +35,14 @@ _DICT = C.WINDOW_SIZE  # context prefix size (dictionary tail)
 
 
 @partial(jax.jit, static_argnames=("mesh", "P_CAP", "SEG_SIZE", "W"))
-def _batch_step(dict_row, payloads, n_valid, mesh, P_CAP, SEG_SIZE, W):
-    """Fixed-Huffman encode of payload rows with a replicated dictionary."""
+def _batch_step(dict_row, dict_start, payloads, n_valid, mesh, P_CAP,
+                SEG_SIZE, W):
+    """Fixed-Huffman encode of payload rows with a replicated dictionary.
+
+    ``dict_start``: first real dictionary byte within the 32 KiB context
+    prefix (the prefix is left-padded for short dictionaries; padding
+    positions must never be match sources — the decoder doesn't have
+    them, so matches there would emit invalid distances)."""
     DB = payloads.shape[0]
     D = mesh.devices.size
     Bd = DB // D
@@ -48,7 +54,8 @@ def _batch_step(dict_row, payloads, n_valid, mesh, P_CAP, SEG_SIZE, W):
             [jnp.broadcast_to(dict_row[None, :], (Bd, _DICT)), rows], axis=1
         )
         nv_full = nv + _DICT
-        matches = find_matches(data, nv_full, N=N, S=8, J=8)
+        ctx = jnp.broadcast_to(dict_start, (Bd,))
+        matches = find_matches(data, nv_full, N=N, S=8, J=8, ctx_start=ctx)
         tv, td, cnt = select_tokens(data, matches, nv_full, N=N,
                                     SEG_SIZE=SEG_SIZE, start=_DICT)
         lsym, dsym, valid, _lf, _df = token_symbols(tv, td, cnt, nseg=nseg)
@@ -123,7 +130,8 @@ def compress_batch(payloads: list[bytes], dictionary: bytes,
     W = (15 * P_CAP + 4096) // 32
     sh = NamedSharding(mesh, P("blocks"))
     words, payload_end, adler = _batch_step(
-        jnp.asarray(dict_tail), jax.device_put(rows, sh),
+        jnp.asarray(dict_tail), jnp.int32(_DICT - dt.size),
+        jax.device_put(rows, sh),
         jax.device_put(n_valid, sh), mesh=mesh, P_CAP=P_CAP,
         SEG_SIZE=seg_size, W=W,
     )

@@ -38,6 +38,31 @@ from ..ops.deflate_kernel import (pack_payload, pack_payload_turbo,
 from ..ops.inflate_kernel import decode_tokens, resolve_global
 from ..ops.lz77 import find_matches, select_tokens
 from ..spec import constants as C
+import time as _time
+
+# per-call phase timings for the scaling report (tools/bench_scaling.py):
+# callers clear LAST_TIMINGS, run one codec call, then read
+# {host_stage, dispatch, host_splice} seconds + dispatch count — the
+# virtual CPU mesh cannot show compute speedup, but per-device HOST
+# overhead growth is measurable and reported (VERDICT r3 #9)
+LAST_TIMINGS: dict = {}
+
+
+class _phase:
+    def __init__(self, name):
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = _time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        LAST_TIMINGS[self.name] = (LAST_TIMINGS.get(self.name, 0.0)
+                                   + _time.perf_counter() - self.t0)
+        if self.name == "dispatch":
+            LAST_TIMINGS["dispatches"] = LAST_TIMINGS.get("dispatches", 0) + 1
+        return False
+
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -296,6 +321,8 @@ def sharded_turbo_inflate_step(
     endb: jax.Array,       # (8, L_pad//8) int32 lane-grid, cols sharded
     base_g: jax.Array,     # (8, L_pad//8) int32 lane-grid first-token
                            # sub-span offsets, cols sharded
+    inv: jax.Array,        # (L_pad,) int32 within-shard decode-lane
+                           # inverse permutation (local indices), sharded
     lt: jax.Array,         # (8, 512) int32 replicated litlen table
     dt: jax.Array,         # (8, 512) int32 replicated dist table
     mesh: Mesh, T: int, LB: int, CB: int,
@@ -323,23 +350,24 @@ def sharded_turbo_inflate_step(
     assert L_loc % LB == 0, "need whole lane-blocks per device"
     C_loc = L_loc // tk.SUBS_PER_CHUNK
 
-    def body(starts_w, shift_idx, bit0, endb, base_g):
+    def body(starts_w, shift_idx, bit0, endb, base_g, inv):
         fetched = tk.extract_lanes(words, starts_w)
         lanes = tk.shift_lanes(fetched, shift_idx, LB=LB)
         planes = _to_planes(lanes, LB=LB)
         tg, mg = tk.decode_turbo(planes, bit0, endb, lt, dt, T=T, LB=LB)
         meta = _from_grid(mg, LB=LB)
-        t16, s16 = _glue_tokens(tg, mg[0], base_g, T=T, C_pad=C_loc, LB=LB)
+        t16, s16 = _glue_tokens(tg, mg[0], base_g, inv, T=T, C_pad=C_loc,
+                                LB=LB)
         rows = tk.resolve_turbo(t16, s16, CB=CB)
         return rows, meta
 
     return shard_map(
         body, mesh=mesh,
         in_specs=(P("blocks"), P("blocks"), P(None, "blocks"),
-                  P(None, "blocks"), P(None, "blocks")),
+                  P(None, "blocks"), P(None, "blocks"), P("blocks")),
         out_specs=(P("blocks"), P(None, "blocks")),
         check_vma=False,
-    )(starts_w, shift_idx, bit0, endb, base_g)
+    )(starts_w, shift_idx, bit0, endb, base_g, inv)
 
 
 def parallel_inflate_turbo(data: bytes, index, mesh: Mesh,
@@ -362,27 +390,33 @@ def parallel_inflate_turbo(data: bytes, index, mesh: Mesh,
                          max(8 * tk.SUBS_PER_CHUNK,
                              _b(-(-index.anchor_bit.size // D),
                                 8 * tk.SUBS_PER_CHUNK)))
-    plan = TurboPlan.build(bytes(data), index, lane_block=lane_block,
-                           min_lanes=D * lane_block)
-    if plan.L_pad % (D * plan.LB):
-        raise CorruptError("lane padding does not tile the mesh")
-    L_loc = plan.L_pad // D
-    CB = min(tk.CHUNK_BLOCK, L_loc // tk.SUBS_PER_CHUNK)
-    sh = NamedSharding(mesh, P("blocks"))
-    sh_col = NamedSharding(mesh, P(None, "blocks"))
-    rows, meta = sharded_turbo_inflate_step(
-        plan.words,
-        _put(np.asarray(plan.starts_w), sh),
-        _put(np.asarray(plan.shift_idx), sh),
-        _put(np.asarray(plan.bit0), sh_col),
-        _put(np.asarray(plan.endb), sh_col),
-        _put(np.asarray(plan.base_g), sh_col),
-        plan.lt, plan.dt,
-        mesh=mesh, T=plan.T, LB=plan.LB, CB=CB,
-    )
-    if check:
-        plan.check_meta(_to_host(meta))
-    flat = _to_host(rows).reshape(-1)[: plan.total_out]
+    with _phase("host_stage"):
+        plan = TurboPlan.build(bytes(data), index, lane_block=lane_block,
+                               min_lanes=D * lane_block, sort_shards=D)
+        if plan.L_pad % (D * plan.LB):
+            raise CorruptError("lane padding does not tile the mesh")
+        L_loc = plan.L_pad // D
+        CB = min(tk.CHUNK_BLOCK, L_loc // tk.SUBS_PER_CHUNK)
+        sh = NamedSharding(mesh, P("blocks"))
+        sh_col = NamedSharding(mesh, P(None, "blocks"))
+        args = (
+            plan.words,
+            _put(np.asarray(plan.starts_w), sh),
+            _put(np.asarray(plan.shift_idx), sh),
+            _put(np.asarray(plan.bit0), sh_col),
+            _put(np.asarray(plan.endb), sh_col),
+            _put(np.asarray(plan.base_g), sh_col),
+            _put(np.asarray(plan.inv), sh),
+            plan.lt, plan.dt,
+        )
+    with _phase("dispatch"):
+        rows, meta = sharded_turbo_inflate_step(
+            *args, mesh=mesh, T=plan.T, LB=plan.LB, CB=CB,
+        )
+    with _phase("readback"):
+        if check:
+            plan.check_meta(_to_host(meta))
+        flat = _to_host(rows).reshape(-1)[: plan.total_out]
     return flat.tobytes()
 
 
@@ -480,19 +514,21 @@ def parallel_deflate(data: bytes | None, mesh: Mesh, block_size: int = 32768,
     W = (15 * N + 4096) // 32
     nseg = N // seg_size
     sharding = NamedSharding(mesh, P("blocks"))
-    blocks_gl = jax.make_array_from_callback((DBd, N + 8), sharding,
-                                             _blocks_cb)
+    with _phase("host_stage"):
+        blocks_gl = jax.make_array_from_callback((DBd, N + 8), sharding,
+                                                 _blocks_cb)
     from ..codec.deflate_pipeline import (
         _FIXED_D_LEN, _FIXED_LL_LEN, _dynamic_header, _encode_tables,
         _or_bits)
 
     max_tokens = 0
     if dynamic:
-        tv, td, cnt, ll_len_d, d_len_d, adler = sharded_histogram_step(
-            blocks_gl, _put(n_valid, sharding), jnp.int32(n),
-            jnp.int32(nblocks), mesh=mesh, N=N, SEG_SIZE=seg_size,
-            max_code_bits=max_code_bits, reset=reset, turbo=turbo,
-        )
+        with _phase("dispatch"):
+            tv, td, cnt, ll_len_d, d_len_d, adler = sharded_histogram_step(
+                blocks_gl, _put(n_valid, sharding), jnp.int32(n),
+                jnp.int32(nblocks), mesh=mesh, N=N, SEG_SIZE=seg_size,
+                max_code_bits=max_code_bits, reset=reset, turbo=turbo,
+            )
         # code lengths were built on device (package-merge inside the
         # histogram dispatch); only the ~50-byte header serialization and
         # the canonical code assignment stay host-side
@@ -506,14 +542,16 @@ def parallel_deflate(data: bytes | None, mesh: Mesh, block_size: int = 32768,
         from ..config import CodecConfig
 
         R = CodecConfig.turbo().pack_row_width(seg_size) if turbo else 0
-        words, payload_end, lane_bit0, split_bit, split_out = \
-            sharded_pack_step(
-                tv, td, cnt,
-                jnp.asarray(ll_code), jnp.asarray(ll_len.astype(np.int32)),
-                jnp.asarray(d_code), jnp.asarray(d_len.astype(np.int32)),
-                _put(hdr_bits, sharding), mesh=mesh, N=N, SEG_SIZE=seg_size,
-                W=W, R=R,
-            )
+        with _phase("dispatch"):
+            words, payload_end, lane_bit0, split_bit, split_out = \
+                sharded_pack_step(
+                    tv, td, cnt,
+                    jnp.asarray(ll_code),
+                    jnp.asarray(ll_len.astype(np.int32)),
+                    jnp.asarray(d_code), jnp.asarray(d_len.astype(np.int32)),
+                    _put(hdr_bits, sharding), mesh=mesh, N=N,
+                    SEG_SIZE=seg_size, W=W, R=R,
+                )
         headers = {0: (hdr0, hb0), 1: (hdr1, hb1)}
         if with_index:
             max_tokens = int(_to_host(cnt).max(initial=0))
@@ -527,14 +565,17 @@ def parallel_deflate(data: bytes | None, mesh: Mesh, block_size: int = 32768,
         )
         ll_code, _ = _encode_tables(_FIXED_LL_LEN, _FIXED_D_LEN)
         ll_len = _FIXED_LL_LEN
-    words_np = _to_host(words)
-    pe = _to_host(payload_end)
-    lane_bit0_np = _to_host(lane_bit0)
+    with _phase("readback"):
+        words_np = _to_host(words)
+        pe = _to_host(payload_end)
+        lane_bit0_np = _to_host(lane_bit0)
     if not (turbo and with_index):
         split_bit_np = split_out_np = None
 
     eob_code = int(ll_code[C.END_OF_BLOCK])
     eob_len = int(ll_len[C.END_OF_BLOCK])
+    _splice_t = _phase("host_splice")
+    _splice_t.__enter__()
     parts = []
     binfos: list = []
     anchor_bit: list = []
@@ -591,6 +632,7 @@ def parallel_deflate(data: bytes | None, mesh: Mesh, block_size: int = 32768,
                 i * N + nb, 0))
             stream_bit += len(part) * 8
     body = b"".join(parts)
+    _splice_t.__exit__()
     trailer = int(adler).to_bytes(4, "big")
     out = C.ZLIB_HEADER + body + trailer
     if with_index:

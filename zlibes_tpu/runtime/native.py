@@ -43,7 +43,8 @@ def _build() -> ctypes.CDLL | None:
         tmp = so.with_suffix(".tmp.so")
         try:
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(tmp)],
+                ["g++", "-O3", "-shared", "-fPIC", "-pthread", str(_SRC),
+                 "-o", str(tmp)],
                 check=True, capture_output=True, timeout=120,
             )
             tmp.rename(so)
@@ -54,6 +55,7 @@ def _build() -> ctypes.CDLL | None:
     except OSError:
         return None
     lib.zscan.restype = ctypes.c_int
+    lib.zscan_parallel.restype = ctypes.c_int
     lib.zresolve.restype = ctypes.c_int
     lib.zadler32.restype = ctypes.c_uint32
     return lib
@@ -80,8 +82,15 @@ _ERRORS = {
 
 
 def scan(data: bytes, bit_offset: int = 0, anchor_every: int = 4096,
-         dict_len: int = 0):
+         dict_len: int = 0, threads: int = 0, span_bytes: int = 1 << 20):
     """Native structure scan of a raw DEFLATE stream.
+
+    ``threads`` > 1 (or 0 = hardware concurrency) runs the rapidgzip-style
+    speculative-parallel scan for streams spanning multiple ``span_bytes``
+    spans: worker threads search each span start for a decodable block
+    boundary and scan ahead, and spans whose candidate matches the
+    authoritative chain splice in; mis-speculated spans fall back to a
+    serial rescan, so output is bit-identical to the sequential scan.
 
     Returns (toks_val, toks_dist, StreamIndex, end_bit, out_len).  Raises
     the usual typed errors on malformed input, or RuntimeError if the
@@ -112,7 +121,8 @@ def scan(data: bytes, bit_offset: int = 0, anchor_every: int = 4096,
         end_bit = ctypes.c_int64()
         out_len = ctypes.c_int64()
         crossing = ctypes.c_int64()
-        rc = lib.zscan(
+        spliced = ctypes.c_int64()
+        common = (
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.c_int64(nbytes), ctypes.c_int64(bit_offset),
             toks_val.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -124,10 +134,18 @@ def scan(data: bytes, bit_offset: int = 0, anchor_every: int = 4096,
             a_blk.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             ctypes.c_int64(cap_anch), ctypes.c_int64(anchor_every),
             ctypes.c_int64(dict_len),
+        )
+        tail = (
             ctypes.byref(n_toks), ctypes.byref(n_blocks), ctypes.byref(n_anch),
             ctypes.byref(end_bit), ctypes.byref(out_len),
             ctypes.byref(crossing),
         )
+        if threads != 1 and nbytes > span_bytes:
+            rc = lib.zscan_parallel(
+                *common, ctypes.c_int64(threads), ctypes.c_int64(span_bytes),
+                *tail, ctypes.byref(spliced))
+        else:
+            rc = lib.zscan(*common, *tail)
         if rc == -5:
             cap_toks *= 4
             continue

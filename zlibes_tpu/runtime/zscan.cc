@@ -21,6 +21,9 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <atomic>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -159,60 +162,61 @@ struct BlockRec {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// result codes
-enum {
-  Z_OK = 0, Z_ERR_BTYPE = -1, Z_ERR_TRUNC = -2, Z_ERR_STORED = -3,
-  Z_ERR_CORRUPT = -4, Z_ERR_TOK_CAP = -5, Z_ERR_BLK_CAP = -6,
-  Z_ERR_ANCH_CAP = -7,
+// scan context: caller-provided output buffers + running counters.
+struct ScanCtx {
+  int32_t* toks_val; int32_t* toks_dist; int64_t max_toks;
+  BlockRec* blocks; int64_t max_blocks;
+  int64_t* anchor_bit; int64_t* anchor_out; int32_t* anchor_block;
+  int64_t max_anchors; int64_t anchor_every;
+  int64_t ntok = 0, nblk = 0, nanch = 0, out = 0, crossing = 0;
 };
 
-// Scan a raw DEFLATE stream starting at bit_offset.
-// toks_*: token output (val = literal byte or match length; dist = 0 for
-// literals).  Stored-block bytes are emitted as literal tokens.
-// Returns Z_OK or error; fills counts through out params.
-int zscan(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
-          int32_t* toks_val, int32_t* toks_dist, int64_t max_toks,
-          BlockRec* blocks, int64_t max_blocks,
-          int64_t* anchor_bit, int64_t* anchor_out, int32_t* anchor_block,
-          int64_t max_anchors, int64_t anchor_every, int64_t dict_len,
-          int64_t* n_toks_out, int64_t* n_blocks_out, int64_t* n_anchors_out,
-          int64_t* end_bit_out, int64_t* out_len_out,
-          int64_t* crossing_out) {
-  BitReader br{data, (size_t)nbytes * 8, (size_t)bit_offset, false};
-  static thread_local Table litlen_tab, dist_tab;
-  int64_t ntok = 0, nblk = 0, nanch = 0, out = 0;
-  int64_t crossing = 0;
+enum {
+  Z_OK_ = 0, Z_DONE_ = 1, Z_STOP_ = 2,
+  ZE_BTYPE = -1, ZE_TRUNC = -2, ZE_STORED = -3, ZE_CORRUPT = -4,
+  ZE_TOK_CAP = -5, ZE_BLK_CAP = -6, ZE_ANCH_CAP = -7,
+};
 
+// Scan whole DEFLATE blocks from br.pos.  Stops after the first block
+// whose end bit is >= stop_bit (returning Z_STOP_), or after a BFINAL
+// block (Z_DONE_).  ``speculative`` relaxes the back-reference distance
+// check to the format bound (a speculative span cannot know how much
+// output precedes it; the merge step re-validates its head) — rapidgzip-
+// style span speculation (PAPERS.md), reimplemented from RFC 1951.
+int scan_core(BitReader& br, ScanCtx& C, size_t stop_bit, bool speculative,
+              int64_t dict_len) {
+  static thread_local Table litlen_tab, dist_tab;
   for (;;) {
-    if (nblk >= max_blocks) return Z_ERR_BLK_CAP;
-    BlockRec& B = blocks[nblk];
+    if (C.nblk >= C.max_blocks) return ZE_BLK_CAP;
+    BlockRec& B = C.blocks[C.nblk];
     B.start_bit = (int64_t)br.pos;
-    B.out_start = out;
-    B.tok_start = ntok;
+    B.out_start = C.out;
+    B.tok_start = C.ntok;
     uint32_t bfinal = br.get(1);
     uint32_t btype = br.get(2);
-    if (br.overrun) return Z_ERR_TRUNC;
+    if (br.overrun) return ZE_TRUNC;
     B.bfinal = bfinal;
     B.btype = btype;
     if (btype == 0) {  // stored
       br.align();
       B.payload_start_bit = (int64_t)br.pos;
       size_t byte = br.pos >> 3;
-      if (byte + 4 > (size_t)nbytes) return Z_ERR_TRUNC;
+      if ((byte + 4) * 8 > br.nbits) return ZE_TRUNC;
+      const uint8_t* data = br.data;
       uint32_t len = data[byte] | ((uint32_t)data[byte + 1] << 8);
       uint32_t nlen = data[byte + 2] | ((uint32_t)data[byte + 3] << 8);
-      if (len != (~nlen & 0xFFFF)) return Z_ERR_STORED;
+      if (len != (~nlen & 0xFFFF)) return ZE_STORED;
       byte += 4;
-      if (byte + len > (size_t)nbytes) return Z_ERR_TRUNC;
-      if (ntok + len > max_toks) return Z_ERR_TOK_CAP;
+      if ((byte + len) * 8 > br.nbits) return ZE_TRUNC;
+      if (C.ntok + len > C.max_toks) return ZE_TOK_CAP;
       for (uint32_t i = 0; i < len; i++) {
-        toks_val[ntok] = data[byte + i];
-        toks_dist[ntok] = 0;
-        ntok++;
+        C.toks_val[C.ntok] = data[byte + i];
+        C.toks_dist[C.ntok] = 0;
+        C.ntok++;
       }
-      out += len;
+      C.out += len;
       br.pos = (byte + len) * 8;
     } else if (btype == 1 || btype == 2) {
       if (btype == 1) {
@@ -228,112 +232,366 @@ int zscan(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
         uint32_t hclen = br.get(4) + 4;
         uint8_t clc[19] = {0};
         for (uint32_t i = 0; i < hclen; i++) clc[kClcOrder[i]] = br.get(3);
-        if (br.overrun) return Z_ERR_TRUNC;
+        if (br.overrun) return ZE_TRUNC;
         static thread_local Table clc_tab;
-        if (!build_table(clc, 19, &clc_tab)) return Z_ERR_CORRUPT;
+        if (!build_table(clc, 19, &clc_tab)) return ZE_CORRUPT;
         uint8_t lens[288 + 32] = {0};
         uint32_t i = 0;
         while (i < hlit + hdist) {
           int32_t e = table_lookup(clc_tab, br.peek64());
           int l = e >> 16;
-          if (!l) return Z_ERR_CORRUPT;
-          if (br.pos + l > br.nbits) return Z_ERR_TRUNC;
+          if (!l) return ZE_CORRUPT;
+          if (br.pos + l > br.nbits) return ZE_TRUNC;
           br.pos += l;
           int sym = e & 0xFFFF;
           if (sym < 16) {
             lens[i++] = (uint8_t)sym;
           } else if (sym == 16) {
-            if (i == 0) return Z_ERR_CORRUPT;
+            if (i == 0) return ZE_CORRUPT;
             uint32_t rep = 3 + br.get(2);
-            if (i + rep > hlit + hdist) return Z_ERR_CORRUPT;
+            if (i + rep > hlit + hdist) return ZE_CORRUPT;
             uint8_t v = lens[i - 1];
             for (uint32_t k = 0; k < rep; k++) lens[i++] = v;
           } else if (sym == 17) {
             uint32_t rep = 3 + br.get(3);
-            if (i + rep > hlit + hdist) return Z_ERR_CORRUPT;
+            if (i + rep > hlit + hdist) return ZE_CORRUPT;
             i += rep;
           } else {
             uint32_t rep = 11 + br.get(7);
-            if (i + rep > hlit + hdist) return Z_ERR_CORRUPT;
+            if (i + rep > hlit + hdist) return ZE_CORRUPT;
             i += rep;
           }
-          if (br.overrun) return Z_ERR_TRUNC;
+          if (br.overrun) return ZE_TRUNC;
         }
-        if (!build_table(lens, hlit, &litlen_tab)) return Z_ERR_CORRUPT;
-        if (!build_table(lens + hlit, hdist, &dist_tab)) return Z_ERR_CORRUPT;
+        if (!build_table(lens, hlit, &litlen_tab)) return ZE_CORRUPT;
+        if (!build_table(lens + hlit, hdist, &dist_tab)) return ZE_CORRUPT;
       }
       B.payload_start_bit = (int64_t)br.pos;
-      int64_t next_anchor = out;  // first anchor at payload start
+      int64_t next_anchor = C.out;  // first anchor at payload start
       for (;;) {
-        if (anchor_every > 0 && out >= next_anchor) {
-          if (nanch >= max_anchors) return Z_ERR_ANCH_CAP;
-          anchor_bit[nanch] = (int64_t)br.pos;
-          anchor_out[nanch] = out;
-          anchor_block[nanch] = (int32_t)nblk;
-          nanch++;
-          next_anchor = out + anchor_every;
+        if (C.anchor_every > 0 && C.out >= next_anchor) {
+          if (C.nanch >= C.max_anchors) return ZE_ANCH_CAP;
+          C.anchor_bit[C.nanch] = (int64_t)br.pos;
+          C.anchor_out[C.nanch] = C.out;
+          C.anchor_block[C.nanch] = (int32_t)C.nblk;
+          C.nanch++;
+          next_anchor = C.out + C.anchor_every;
         }
         uint64_t w = br.peek64();
         int32_t e = table_lookup(litlen_tab, w);
         int l = (e >> 16) & 31;
-        if (!l) return Z_ERR_CORRUPT;
-        if (br.pos + l > br.nbits) return Z_ERR_TRUNC;
+        if (!l) return ZE_CORRUPT;
+        if (br.pos + l > br.nbits) return ZE_TRUNC;
         int sym = e & 0xFFFF;
         if (sym < 256) {
           br.pos += l;
-          if (ntok >= max_toks) return Z_ERR_TOK_CAP;
-          toks_val[ntok] = sym;
-          toks_dist[ntok] = 0;
-          ntok++;
-          out++;
+          if (C.ntok >= C.max_toks) return ZE_TOK_CAP;
+          C.toks_val[C.ntok] = sym;
+          C.toks_dist[C.ntok] = 0;
+          C.ntok++;
+          C.out++;
         } else if (sym == 256) {
           br.pos += l;
           break;
         } else {
-          if (sym > 285) return Z_ERR_CORRUPT;
+          if (sym > 285) return ZE_CORRUPT;
           int li = sym - 257;
           int lex = kLenExtra[li];
-          // length extras ride the same 57-bit window (l + lex ≤ 20)
+          // length extras ride the same 57-bit window (l + lex <= 20)
           uint32_t length =
               kLenBase[li] + (uint32_t)((w >> l) & ((1u << lex) - 1));
-          if (br.pos + l + lex > br.nbits) return Z_ERR_TRUNC;
+          if (br.pos + l + lex > br.nbits) return ZE_TRUNC;
           br.pos += l + lex;
           uint64_t w2 = br.peek64();
           int32_t de = table_lookup(dist_tab, w2);
           int dl = (de >> 16) & 31;
-          if (!dl) return Z_ERR_CORRUPT;
+          if (!dl) return ZE_CORRUPT;
           int dsym = de & 0xFFFF;
-          if (dsym > 29) return Z_ERR_CORRUPT;
+          if (dsym > 29) return ZE_CORRUPT;
           int dex = kDistExtra[dsym];
-          // dist code + extras fit the window too (dl + dex ≤ 28)
+          // dist code + extras fit the window too (dl + dex <= 28)
           uint32_t dist =
               kDistBase[dsym] + (uint32_t)((w2 >> dl) & ((1u << dex) - 1));
-          if (br.pos + dl + dex > br.nbits) return Z_ERR_TRUNC;
+          if (br.pos + dl + dex > br.nbits) return ZE_TRUNC;
           br.pos += dl + dex;
-          if ((int64_t)dist > out + dict_len) return Z_ERR_CORRUPT;
-          if ((int64_t)dist > out - B.out_start) crossing = 1;
-          if (ntok >= max_toks) return Z_ERR_TOK_CAP;
-          toks_val[ntok] = (int32_t)length;
-          toks_dist[ntok] = (int32_t)dist;
-          ntok++;
-          out += length;
+          if (!speculative && (int64_t)dist > C.out + dict_len)
+            return ZE_CORRUPT;
+          if ((int64_t)dist > C.out - B.out_start) C.crossing = 1;
+          if (C.ntok >= C.max_toks) return ZE_TOK_CAP;
+          C.toks_val[C.ntok] = (int32_t)length;
+          C.toks_dist[C.ntok] = (int32_t)dist;
+          C.ntok++;
+          C.out += length;
         }
       }
     } else {
-      return Z_ERR_BTYPE;
+      return ZE_BTYPE;
     }
     B.end_bit = (int64_t)br.pos;
-    B.out_len = out - B.out_start;
-    B.tok_count = ntok - B.tok_start;
-    nblk++;
-    if (bfinal) break;
+    B.out_len = C.out - B.out_start;
+    B.tok_count = C.ntok - B.tok_start;
+    C.nblk++;
+    if (bfinal) return Z_DONE_;
+    if (br.pos >= stop_bit) return Z_STOP_;
   }
-  *n_toks_out = ntok;
-  *n_blocks_out = nblk;
-  *n_anchors_out = nanch;
+}
+
+// cheap candidate pre-filter at a bit offset: plausible block header?
+// (btype 2 with in-range HLIT/HDIST and a non-oversubscribed precode, or
+// a stored block with a valid LEN/NLEN pair; fixed blocks are not
+// searched for — any bit pattern parses as one, so they carry no signal)
+bool plausible_header(const uint8_t* data, size_t nbits, size_t bit) {
+  if (bit + 3 > nbits) return false;
+  BitReader br{data, nbits, bit, false};
+  uint64_t w = br.peek64();
+  uint32_t btype = (uint32_t)(w >> 1) & 3;
+  if (btype == 0) {
+    size_t byte = ((bit + 3) + 7) >> 3;
+    if ((byte + 4) * 8 > nbits) return false;
+    uint32_t len = data[byte] | ((uint32_t)data[byte + 1] << 8);
+    uint32_t nlen = data[byte + 2] | ((uint32_t)data[byte + 3] << 8);
+    return len == (~nlen & 0xFFFF) && len > 0;
+  }
+  if (btype != 2) return false;
+  uint32_t hlit = (uint32_t)(w >> 3) & 31;
+  uint32_t hdist = (uint32_t)(w >> 8) & 31;
+  if (hlit > 29 || hdist > 29) return false;
+  uint32_t hclen = ((uint32_t)(w >> 13) & 15) + 4;
+  if (bit + 17 + hclen * 3 > nbits) return false;
+  // precode Kraft pre-check (oversubscription kills ~99% of noise)
+  long kraft = 0;
+  int nz = 0;
+  for (uint32_t i = 0; i < hclen; i++) {
+    BitReader b2{data, nbits, bit + 17 + i * 3, false};
+    uint32_t v = b2.peek(3);
+    if (v) { kraft += 1L << (7 - v); nz++; }
+  }
+  return nz >= 1 && kraft <= (1L << 7);
+}
+
+}  // namespace
+
+extern "C" {
+
+// result codes
+enum {
+  Z_OK = 0, Z_ERR_BTYPE = -1, Z_ERR_TRUNC = -2, Z_ERR_STORED = -3,
+  Z_ERR_CORRUPT = -4, Z_ERR_TOK_CAP = -5, Z_ERR_BLK_CAP = -6,
+  Z_ERR_ANCH_CAP = -7,
+};
+
+// Scan a raw DEFLATE stream starting at bit_offset (sequential).
+// toks_*: token output (val = literal byte or match length; dist = 0 for
+// literals).  Stored-block bytes are emitted as literal tokens.
+// Returns Z_OK or error; fills counts through out params.
+int zscan(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
+          int32_t* toks_val, int32_t* toks_dist, int64_t max_toks,
+          BlockRec* blocks, int64_t max_blocks,
+          int64_t* anchor_bit, int64_t* anchor_out, int32_t* anchor_block,
+          int64_t max_anchors, int64_t anchor_every, int64_t dict_len,
+          int64_t* n_toks_out, int64_t* n_blocks_out, int64_t* n_anchors_out,
+          int64_t* end_bit_out, int64_t* out_len_out,
+          int64_t* crossing_out) {
+  BitReader br{data, (size_t)nbytes * 8, (size_t)bit_offset, false};
+  ScanCtx C{toks_val, toks_dist, max_toks, blocks, max_blocks,
+            anchor_bit, anchor_out, anchor_block, max_anchors, anchor_every};
+  int rc = scan_core(br, C, (size_t)-1, false, dict_len);
+  if (rc < 0) return rc;
+  *n_toks_out = C.ntok;
+  *n_blocks_out = C.nblk;
+  *n_anchors_out = C.nanch;
   *end_bit_out = (int64_t)br.pos;
-  *out_len_out = out;
-  *crossing_out = crossing;
+  *out_len_out = C.out;
+  *crossing_out = C.crossing;
+  return Z_OK;
+}
+
+namespace {
+
+// per-worker speculative result
+struct SpecResult {
+  bool found = false;
+  bool final_seen = false;
+  size_t cand_bit = 0;
+  size_t end_bit = 0;
+  std::vector<int32_t> tv, td;
+  std::vector<BlockRec> blk;
+  std::vector<int64_t> abit, aout;
+  std::vector<int32_t> ablk;
+  int64_t out = 0, crossing = 0;
+};
+
+// Search span [sbit, ebit) for a decodable block chain; on success the
+// worker's result holds every whole block from cand_bit to the first
+// block end >= ebit (or the BFINAL end).
+void spec_worker(const uint8_t* data, size_t nbits, size_t sbit, size_t ebit,
+                 int64_t anchor_every, int64_t span_bytes, SpecResult* R) {
+  int64_t tok_cap = span_bytes * 3 + (1 << 16);
+  int64_t blk_cap = span_bytes / 512 + 64;
+  int64_t anch_cap =
+      (anchor_every > 0 ? tok_cap / (anchor_every / 4 + 1) : 0) + 1024;
+  R->tv.resize(tok_cap);
+  R->td.resize(tok_cap);
+  R->blk.resize(blk_cap);
+  R->abit.resize(anch_cap);
+  R->aout.resize(anch_cap);
+  R->ablk.resize(anch_cap);
+  for (size_t bit = sbit; bit < ebit; bit++) {
+    if (!plausible_header(data, nbits, bit)) continue;
+    BitReader br{data, nbits, bit, false};
+    ScanCtx C{R->tv.data(), R->td.data(), tok_cap, R->blk.data(), blk_cap,
+              R->abit.data(), R->aout.data(), R->ablk.data(), anch_cap,
+              anchor_every};
+    int rc = scan_core(br, C, ebit, true, 0);
+    if (rc == Z_DONE_ || rc == Z_STOP_) {
+      R->found = true;
+      R->final_seen = (rc == Z_DONE_);
+      R->cand_bit = bit;
+      R->end_bit = br.pos;
+      R->out = C.out;
+      R->crossing = C.crossing;
+      R->tv.resize(C.ntok);
+      R->td.resize(C.ntok);
+      R->blk.resize(C.nblk);
+      R->abit.resize(C.nanch);
+      R->aout.resize(C.nanch);
+      R->ablk.resize(C.nanch);
+      return;
+    }
+    // cap overruns mean the speculation budget is too small, not that the
+    // stream is corrupt — give up and let the serial fallback cover this
+    // span
+    if (rc == ZE_TOK_CAP || rc == ZE_BLK_CAP || rc == ZE_ANCH_CAP) return;
+  }
+}
+
+}  // namespace
+
+// Speculative-parallel structure scan (rapidgzip-style span speculation;
+// PAPERS.md): the stream splits into ~span_bytes compressed spans, worker
+// threads search each span start for a decodable block boundary and scan
+// ahead speculatively, and the merge loop splices a span whenever its
+// candidate bit equals the authoritative chain end — falling back to a
+// serial rescan of just that span otherwise.  Output is bit-identical to
+// zscan.  Returns Z_OK or error.
+int zscan_parallel(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
+                   int32_t* toks_val, int32_t* toks_dist, int64_t max_toks,
+                   BlockRec* blocks, int64_t max_blocks,
+                   int64_t* anchor_bit, int64_t* anchor_out,
+                   int32_t* anchor_block,
+                   int64_t max_anchors, int64_t anchor_every,
+                   int64_t dict_len,
+                   int64_t nthreads, int64_t span_bytes,
+                   int64_t* n_toks_out, int64_t* n_blocks_out,
+                   int64_t* n_anchors_out,
+                   int64_t* end_bit_out, int64_t* out_len_out,
+                   int64_t* crossing_out, int64_t* spliced_out) {
+  size_t nbits = (size_t)nbytes * 8;
+  if (nthreads <= 0) nthreads = (int64_t)std::thread::hardware_concurrency();
+  if (nthreads < 1) nthreads = 1;
+  if (span_bytes < (1 << 16)) span_bytes = 1 << 16;
+  int64_t start_byte = bit_offset / 8;
+  int64_t nspans = (nbytes - start_byte + span_bytes - 1) / span_bytes;
+  if (nspans < 2 || nthreads < 2) {
+    *spliced_out = 0;
+    return zscan(data, nbytes, bit_offset, toks_val, toks_dist, max_toks,
+                 blocks, max_blocks, anchor_bit, anchor_out, anchor_block,
+                 max_anchors, anchor_every, dict_len, n_toks_out,
+                 n_blocks_out, n_anchors_out, end_bit_out, out_len_out,
+                 crossing_out);
+  }
+
+  std::vector<SpecResult> res((size_t)nspans);  // [0] unused
+  // bounded thread pool over spans 1..nspans-1
+  std::vector<std::thread> pool;
+  std::atomic<int64_t> next_span{1};
+  auto drain = [&]() {
+    for (;;) {
+      int64_t k = next_span.fetch_add(1);
+      if (k >= nspans) break;
+      size_t sbit = (size_t)(start_byte + k * span_bytes) * 8;
+      size_t ebit = (size_t)(start_byte + (k + 1) * span_bytes) * 8;
+      if (ebit > nbits) ebit = nbits;
+      spec_worker(data, nbits, sbit, ebit, anchor_every, span_bytes,
+                  &res[(size_t)k]);
+    }
+  };
+  int64_t nworkers = nthreads - 1 < nspans - 1 ? nthreads - 1 : nspans - 1;
+  for (int64_t t = 0; t < nworkers; t++) pool.emplace_back(drain);
+
+  // authoritative chain: span 0 scans inline on this thread
+  ScanCtx C{toks_val, toks_dist, max_toks, blocks, max_blocks,
+            anchor_bit, anchor_out, anchor_block, max_anchors, anchor_every};
+  BitReader br{data, nbits, (size_t)bit_offset, false};
+  size_t stop0 = (size_t)(start_byte + span_bytes) * 8;
+  int rc = scan_core(br, C, stop0, false, dict_len);
+  drain();  // the main thread joins the speculation pool once span 0 is in
+  for (auto& t : pool) t.join();
+  if (rc < 0) return rc;
+  int64_t spliced = 0;
+
+  for (int64_t k = 1; k < nspans && rc != Z_DONE_; k++) {
+    size_t ebit = (size_t)(start_byte + (k + 1) * span_bytes) * 8;
+    if (ebit > nbits) ebit = nbits;
+    if (br.pos >= ebit) continue;  // chain already past this span
+    SpecResult& R = res[(size_t)k];
+    if (R.found && R.cand_bit == br.pos) {
+      // splice: re-validate the head (speculative dist checks were
+      // relaxed — only the first 32 KiB of span output can reach back)
+      if (C.ntok + (int64_t)R.tv.size() > max_toks) return ZE_TOK_CAP;
+      if (C.nblk + (int64_t)R.blk.size() > max_blocks) return ZE_BLK_CAP;
+      if (C.nanch + (int64_t)R.abit.size() > max_anchors)
+        return ZE_ANCH_CAP;
+      int64_t rel_out = 0;
+      for (size_t t = 0; t < R.tv.size(); t++) {
+        int32_t d = R.td[(size_t)t];
+        if (d) {
+          if (rel_out >= 32768) break;
+          if ((int64_t)d > C.out + rel_out + dict_len) return ZE_CORRUPT;
+          rel_out += R.tv[(size_t)t];
+        } else {
+          rel_out++;
+        }
+      }
+      memcpy(toks_val + C.ntok, R.tv.data(), R.tv.size() * 4);
+      memcpy(toks_dist + C.ntok, R.td.data(), R.td.size() * 4);
+      for (size_t b = 0; b < R.blk.size(); b++) {
+        BlockRec rec = R.blk[b];
+        rec.out_start += C.out;
+        rec.tok_start += C.ntok;
+        blocks[C.nblk + (int64_t)b] = rec;
+      }
+      for (size_t a = 0; a < R.abit.size(); a++) {
+        anchor_bit[C.nanch + (int64_t)a] = R.abit[a];
+        anchor_out[C.nanch + (int64_t)a] = R.aout[a] + C.out;
+        anchor_block[C.nanch + (int64_t)a] =
+            R.ablk[a] + (int32_t)C.nblk;
+      }
+      C.ntok += (int64_t)R.tv.size();
+      C.nblk += (int64_t)R.blk.size();
+      C.nanch += (int64_t)R.abit.size();
+      C.out += R.out;
+      C.crossing |= R.crossing;
+      br.pos = R.end_bit;
+      rc = R.final_seen ? Z_DONE_ : Z_STOP_;
+      spliced++;
+    } else {
+      // mis-speculation (or no candidate): serial rescan of this span
+      rc = scan_core(br, C, ebit, false, dict_len);
+      if (rc < 0) return rc;
+    }
+  }
+  if (rc != Z_DONE_) {
+    rc = scan_core(br, C, (size_t)-1, false, dict_len);
+    if (rc < 0) return rc;
+  }
+  *n_toks_out = C.ntok;
+  *n_blocks_out = C.nblk;
+  *n_anchors_out = C.nanch;
+  *end_bit_out = (int64_t)br.pos;
+  *out_len_out = C.out;
+  *crossing_out = C.crossing;
+  *spliced_out = spliced;
   return Z_OK;
 }
 

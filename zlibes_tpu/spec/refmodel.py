@@ -358,6 +358,12 @@ class StreamIndex:
                            self.anchor_block, self.self_contained,
                            self.chunk_reset, self.turbo, self.max_tokens)
 
+    # sidecar format version.  v2 (round 3): turbo anchors come in PAIRS
+    # per 512 B segment (segment start + mid-segment split) — v1 sidecars
+    # (single anchor per 512 B) cannot drive the paired decode lanes and
+    # are rejected at load with an explicit versioning error.
+    FORMAT_VERSION = 2
+
     def save(self, path) -> None:
         """Persist the sidecar index (reload with StreamIndex.load)."""
         blk = np.array(
@@ -370,11 +376,19 @@ class StreamIndex:
                  self_contained=np.array([self.self_contained]),
                  chunk_reset=np.array([self.chunk_reset]),
                  turbo=np.array([self.turbo]),
-                 max_tokens=np.array([self.max_tokens]))
+                 max_tokens=np.array([self.max_tokens]),
+                 version=np.array([StreamIndex.FORMAT_VERSION]))
 
     @staticmethod
     def load(path) -> "StreamIndex":
         z = np.load(path)
+        version = int(z["version"][0]) if "version" in z else 1
+        if version != StreamIndex.FORMAT_VERSION:
+            raise ValueError(
+                f"index sidecar is format v{version}; this build reads "
+                f"v{StreamIndex.FORMAT_VERSION} (v2 pairs every turbo "
+                f"anchor with a mid-segment split) — regenerate the index "
+                f"with deflate_indexed() or ZScanner")
         blocks = [
             BlockInfo(int(r[0]), bool(r[1]), int(r[2]), int(r[3]), int(r[4]),
                       int(r[5]), int(r[6]))
