@@ -233,7 +233,8 @@ def main() -> None:
     # Pallas lock-step selection, scatter-free pack)
     from zlibes_tpu.codec.deflate_pipeline import _select_turbo_glue
     from zlibes_tpu.ops.lz77 import find_matches
-    from zlibes_tpu.ops.deflate_kernel import pack_payload_turbo, token_symbols
+    from zlibes_tpu.ops.deflate_kernel import (pack_payload_turbo_dense,
+                                               token_symbols)
     N = cfg.block_size
     nseg = N // cfg.seg_size
     Bp = cfg.blocks_per_dispatch
@@ -270,7 +271,7 @@ def main() -> None:
     R = cfg.pack_row_width()
 
     @jax.jit
-    def run_deflate(blk_stack, nv, tabs, hdrb, en):
+    def run_deflate(blk_stack, nv, tabs, hdrb, en, eob):
         # tables enter as traced args, NOT closure constants: embedded
         # constants are hashed by value into the persistent-cache key,
         # which made every bench run recompile this ~250 s program
@@ -282,19 +283,20 @@ def main() -> None:
                                              SEG_SIZE=cfg.seg_size,
                                              lazy=cfg.lazy, split_far=True)
             lsym, dsym, valid, llf, dfq = token_symbols(tv, td, cnt, nseg=nseg)
-            words, pe, lb, _sb, _so = pack_payload_turbo(
-                tv, td, valid, *tabs, hdrb, en, nseg=nseg, W=W, R=R)
-            return c + pe.sum() + llf[0, 0] + words[0, 0].astype(jnp.int32), None
+            dense, pe, lb, _sb, _so = pack_payload_turbo_dense(
+                tv, td, valid, *tabs, hdrb, en, eob, nseg=nseg, R=R)
+            return c + pe.sum() + llf[0, 0] + dense[0].astype(jnp.int32), None
         c, _ = jax.lax.scan(body, jnp.int32(0), blk_stack)
         return c
 
+    eob_dev = jnp.int32(7)
     t0 = time.perf_counter()
-    _sync(run_deflate(blk_stack, nv_dev, tabs, hdrb, en))
+    _sync(run_deflate(blk_stack, nv_dev, tabs, hdrb, en, eob_dev))
     _log(f"deflate-dev compile+first: {time.perf_counter()-t0:.0f}s")
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        _sync(run_deflate(blk_stack, nv_dev, tabs, hdrb, en))
+        _sync(run_deflate(blk_stack, nv_dev, tabs, hdrb, en, eob_dev))
         times.append(time.perf_counter() - t0)
     t_dd = (float(np.median(times)) - rpc) / Kd
     def_dev_gbps = dbytes / t_dd / 1e9

@@ -98,9 +98,17 @@ def find_matches(
 
     # the S probe windows ride the sort as extra operands (a multi-operand
     # sort costs ~1 ms per operand on v5e, vs ~15 ns per element for the
-    # take_along_axis gather it replaces — 40x on the whole matcher)
+    # take_along_axis gather it replaces — 40x on the whole matcher).
+    # Probe word 0 does NOT ride: its low 3 bytes ARE the key, and its top
+    # byte packs into the position operand's spare bits — one whole sort
+    # operand saved (stable sort keeps equal-key order, so the packed high
+    # bits never perturb candidate ordering).
+    POSH = 20
+    assert N <= 1 << POSH, "positions must fit the packed-pos field"
+    pos_packed = pos | ((w32 >> 24).astype(jnp.int32) << POSH)
     wp = jnp.pad(w32, ((0, 0), (0, 4 * S)))
-    ops = (key, pos) + tuple(wp[:, 4 * s : 4 * s + N] for s in range(S))
+    ops = (key, pos_packed) + tuple(wp[:, 4 * s : 4 * s + N]
+                                    for s in range(1, S))
     # window-reset profiles: matches never cross a ``reset`` boundary, so
     # the sort decomposes into independent ``reset``-element row sorts —
     # N/reset-fold shallower merge networks, rows that fit VMEM
@@ -108,8 +116,12 @@ def find_matches(
     if nrow > 1:
         ops = tuple(o.reshape(B * nrow, reset) for o in ops)
     sorted_ops = jax.lax.sort(ops, dimension=1, is_stable=True, num_keys=1)
-    skey, spos = sorted_ops[0], sorted_ops[1]
-    probes = jnp.stack(sorted_ops[2:])
+    skey, sposp = sorted_ops[0], sorted_ops[1]
+    spos = sposp & ((1 << POSH) - 1)
+    # probe word 0 reconstructed from (key, packed byte 3); sentinel-key
+    # rows reconstruct garbage, but every use is masked by key equality
+    probe0 = ((skey & 0xFFFFFF) | (sposp >> POSH << 24)).astype(w32.dtype)
+    probes = jnp.stack([probe0] + list(sorted_ops[2:]))
 
     nv_row = jnp.repeat(n_valid, nrow) if nrow > 1 else n_valid
     limit = jnp.minimum(nv_row[:, None] - spos, C.MAX_MATCH)
