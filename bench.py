@@ -95,7 +95,7 @@ def main() -> None:
     stack = jnp.asarray(np.stack([words_np] * K))  # distinct buffer
 
     @jax.jit
-    def run_inflate(stack, starts_w, shift_idx, bit0, endb, base, inv,
+    def run_inflate(stack, starts_w, shift_idx, bit0, endb, base, cinv,
                     lt, dt):
         def body(c, words):
             fetched = tk.extract_lanes(words, starts_w)
@@ -103,9 +103,9 @@ def main() -> None:
             planes = tb._to_planes(lanes, LB=plan.LB)
             tg, mg = tk.decode_turbo(planes, bit0, endb, lt, dt, T=plan.T,
                                      LB=plan.LB)
-            t16, s16 = tb._glue_tokens(tg, mg[0], base, inv, T=plan.T,
+            t16, s16 = tb._glue_tokens(tg, mg[0], base, T=plan.T,
                                        C_pad=plan.C_pad, LB=plan.LB)
-            rows = tk.resolve_turbo(t16, s16)
+            rows = jnp.take(tk.resolve_turbo(t16, s16), cinv, axis=0)
             flat = rows.reshape(-1)[: plan.total_out]
             adler = adler32_device(flat, plan.total_out)
             return c + adler.astype(jnp.int32) + mg[2].sum(), None
@@ -113,7 +113,7 @@ def main() -> None:
         return c
 
     args = (stack, plan.starts_w, plan.shift_idx, plan.bit0, plan.endb,
-            plan.base_g, plan.inv, plan.lt, plan.dt)
+            plan.base_g, plan.chunk_inv, plan.lt, plan.dt)
     t0 = time.perf_counter()
     _sync(run_inflate(*args))
     _log(f"inflate compile+first: {time.perf_counter()-t0:.0f}s")
@@ -192,9 +192,19 @@ def main() -> None:
         _sync(run_default(*args6))
         times.append(time.perf_counter() - t0)
     t_def6 = (float(np.median(times)) - rpc) / K6
-    inf6_gbps = nbytes / t_def6 / 1e9
-    _log(f"default-profile inflate: {t_def6*1e3:.3f} ms/exec -> "
-         f"{inf6_gbps:.3f} GB/s")
+    xla6_gbps = nbytes / t_def6 / 1e9
+    _log(f"indexed-XLA inflate: {t_def6*1e3:.3f} ms/exec -> "
+         f"{xla6_gbps:.3f} GB/s")
+    # the PUBLIC routed path for non-turbo indexed streams (native scan +
+    # device resolve when that is faster than the XLA indexed decoder)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out6b = ip.inflate(comp6, index=index6, verify_checksum=False)
+        ts.append(time.perf_counter() - t0)
+    assert out6b == data
+    inf6_gbps = nbytes / float(np.median(ts)) / 1e9
+    _log(f"default-profile inflate (routed): {inf6_gbps:.3f} GB/s wall")
 
     # ---- foreign-stream first decode (no index): speculative-parallel
     # C++ structure scan + device LZ resolve (VERDICT r3 #4)
@@ -332,6 +342,7 @@ def main() -> None:
         "deflate_vs_zlib1_single_core": round(def_dev_gbps / base_def1_gbps, 2),
         "compressed_ratio": round(ratio, 4),
         "default_inflate_gbps": round(inf6_gbps, 4),
+        "indexed_xla_inflate_gbps": round(xla6_gbps, 4),
         "foreign_scan_serial_gbps": round(fser_gbps, 4),
         "foreign_scan_speculative_gbps": round(fscan_gbps, 4),
         "foreign_e2e_gbps": round(fe2e_gbps, 4),

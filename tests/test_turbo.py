@@ -246,11 +246,15 @@ def test_turbo_fuzz_batched_lanes():
         meta = np.asarray(tb._from_grid(mg, LB=plan.LB))
         flagged = ((meta[2] > 0) | (meta[3] > 0)
                    | (meta[1] != plan.lane_end_check))
-        flagged_orig = flagged[np.asarray(plan.inv)]  # decoded -> original
-        t16, s16 = tb._glue_tokens(tg, mg[0], plan.base_g, plan.inv,
+        # lanes decode in chunk-sorted order: original lane j (chunk
+        # j//16, sub j%16) sits at decoded slot chunk_inv[j//16]*16+j%16
+        cinv = np.asarray(plan.chunk_inv)
+        jj = np.arange(plan.L_pad)
+        flagged_orig = flagged[cinv[jj // 16] * 16 + jj % 16]
+        t16, s16 = tb._glue_tokens(tg, mg[0], plan.base_g,
                                    T=plan.T, C_pad=plan.C_pad, LB=plan.LB)
-        out = np.asarray(tb.tk.resolve_turbo(t16, s16).reshape(-1)
-                         )[: plan.total_out]
+        rows = np.asarray(tb.tk.resolve_turbo(t16, s16))[cinv]
+        out = rows.reshape(-1)[: plan.total_out]
         ndiff = out != arr
         for k in corrupted_segs:
             lanes_bad = bool(flagged_orig[2 * k]) or bool(

@@ -21,7 +21,9 @@ from zlibes_tpu.codec.deflate_pipeline import (_encode_tables,
                                                package_merge_np)
 from zlibes_tpu.config import CodecConfig
 from zlibes_tpu.ops.deflate_kernel import (pack_payload, pack_payload_fast,
-                                           pack_payload_turbo, token_symbols)
+                                           pack_payload_turbo,
+                                           pack_payload_turbo_dense,
+                                           token_symbols)
 from zlibes_tpu.ops.lz77 import find_matches
 from zlibes_tpu.spec import constants as CC
 
@@ -146,36 +148,46 @@ def main():
     ds_s = jnp.asarray(np.stack([np.asarray(dsym)] * K))
     va_s = jnp.asarray(np.stack([np.asarray(valid)] * K))
 
-    def run_pack(tvs, tds, lss, dss, vas):
-        def body(c, x):
-            tv, td, ls, ds, va = x
-            words, pe, lb = pack_payload(tv, td, ls, ds, va, *tabs, hdrb, en,
-                                         nseg=nseg, W=W)
-            return c + pe.sum() + words[0, 0].astype(jnp.int32), None
-        return jax.lax.scan(body, jnp.int32(0), (tvs, tds, lss, dss, vas))[0]
-    timeit("pack", run_pack, tv_s, td_s, ls_s, ds_s, va_s)
-
-    # --- pack_fast (turbo scatter-free pack)
     R = cfg.pack_row_width()
+    if "--all" in sys.argv:
+        def run_pack(tvs, tds, lss, dss, vas):
+            def body(c, x):
+                tv, td, ls, ds, va = x
+                words, pe, lb = pack_payload(tv, td, ls, ds, va, *tabs,
+                                             hdrb, en, nseg=nseg, W=W)
+                return c + pe.sum() + words[0, 0].astype(jnp.int32), None
+            return jax.lax.scan(body, jnp.int32(0),
+                                (tvs, tds, lss, dss, vas))[0]
+        timeit("pack", run_pack, tv_s, td_s, ls_s, ds_s, va_s)
 
-    def run_packf(tvs, tds, lss, dss, vas):
-        def body(c, x):
-            tv, td, ls, ds, va = x
-            words, pe, lb = pack_payload_fast(
-                tv, td, ls, ds, va, *tabs, hdrb, en, nseg=nseg, W=W, R=R)
-            return c + pe.sum() + words[0, 0].astype(jnp.int32), None
-        return jax.lax.scan(body, jnp.int32(0), (tvs, tds, lss, dss, vas))[0]
-    timeit("pack_fast", run_packf, tv_s, td_s, ls_s, ds_s, va_s)
+        def run_packf(tvs, tds, lss, dss, vas):
+            def body(c, x):
+                tv, td, ls, ds, va = x
+                words, pe, lb = pack_payload_fast(
+                    tv, td, ls, ds, va, *tabs, hdrb, en, nseg=nseg, W=W, R=R)
+                return c + pe.sum() + words[0, 0].astype(jnp.int32), None
+            return jax.lax.scan(body, jnp.int32(0),
+                                (tvs, tds, lss, dss, vas))[0]
+        timeit("pack_fast", run_packf, tv_s, td_s, ls_s, ds_s, va_s)
 
-    # --- pack_turbo (Pallas field kernel + sort placement; production)
-    def run_packt(tvs, tds, vas):
+        def run_packt(tvs, tds, vas):
+            def body(c, x):
+                tv, td, va = x
+                words, pe, lb, _sb, _so = pack_payload_turbo(
+                    tv, td, va, *tabs, hdrb, en, nseg=nseg, W=W, R=R)
+                return c + pe.sum() + words[0, 0].astype(jnp.int32), None
+            return jax.lax.scan(body, jnp.int32(0), (tvs, tds, vas))[0]
+        timeit("pack_turbo", run_packt, tv_s, td_s, va_s)
+
+    # --- pack_dense (compacted-image pack; production)
+    def run_packd(tvs, tds, vas):
         def body(c, x):
             tv, td, va = x
-            words, pe, lb, _sb, _so = pack_payload_turbo(
-                tv, td, va, *tabs, hdrb, en, nseg=nseg, W=W, R=R)
-            return c + pe.sum() + words[0, 0].astype(jnp.int32), None
+            dense, pe, lb, _sb, _so = pack_payload_turbo_dense(
+                tv, td, va, *tabs, hdrb, en, jnp.int32(7), nseg=nseg, R=R)
+            return c + pe.sum() + dense[0].astype(jnp.int32), None
         return jax.lax.scan(body, jnp.int32(0), (tvs, tds, vas))[0]
-    timeit("pack_turbo", run_packt, tv_s, td_s, va_s)
+    timeit("pack_dense", run_packd, tv_s, td_s, va_s)
 
 
 if __name__ == "__main__":

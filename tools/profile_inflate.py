@@ -78,7 +78,7 @@ def main():
     planes = tb._to_planes(lanes, LB=plan.LB)
     tg, mg = tk.decode_turbo(planes, plan.bit0, plan.endb, plan.lt, plan.dt,
                              T=plan.T, LB=plan.LB)
-    t16, s16 = tb._glue_tokens(tg, mg[0], plan.base_g, plan.inv, T=plan.T,
+    t16, s16 = tb._glue_tokens(tg, mg[0], plan.base_g, T=plan.T,
                                C_pad=plan.C_pad, LB=plan.LB)
 
     f, st = scan_over(lambda w, sw: tk.extract_lanes(w, sw)[0, 0],
@@ -95,12 +95,12 @@ def main():
     f, st = scan_over(dec, planes)
     timeit("decode", f, st, plan.bit0, plan.endb, plan.lt, plan.dt)
 
-    def glue(tg, mg0, base_g, inv):
-        t16, s16 = tb._glue_tokens(tg, mg0, base_g, inv, T=plan.T,
+    def glue(tg, mg0, base_g):
+        t16, s16 = tb._glue_tokens(tg, mg0, base_g, T=plan.T,
                                    C_pad=plan.C_pad, LB=plan.LB)
         return jnp.sum(t16[0, :, 0]) + jnp.sum(s16[:, 0, 0])
     f, st = scan_over(glue, tg)
-    timeit("glue", f, st, mg[0], plan.base_g, plan.inv)
+    timeit("glue", f, st, mg[0], plan.base_g)
 
     def res(t16, s16):
         return tk.resolve_turbo(t16, s16)[0, 0].astype(jnp.int32)

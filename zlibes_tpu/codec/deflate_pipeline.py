@@ -307,6 +307,8 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
     kept = {}
     nv_all = {}
     handles = []
+    ll_parts = []
+    d_parts = []
     spans = [(d0, min(nblocks, d0 + Bp)) for d0 in range(0, nblocks, Bp)]
     nchunks = N // _ADLER_CHUNK
     nt = Bp * nchunks
@@ -321,12 +323,32 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
         handles.append(jnp.concatenate(
             [ll_freq.reshape(-1), d_freq.reshape(-1), jnp.max(cnt)[None],
              ad_a, ad_b]))
+        ll_parts.append(jnp.sum(ll_freq, axis=0))
+        d_parts.append(jnp.sum(d_freq, axis=0))
         nv_all[d0] = n_valid
         if keep_tokens:
             kept[d0] = (tv, td, cnt, valid)
         stats.dispatches += 1
+    # the shared length-limited code lengths are built ON DEVICE from the
+    # device-side global histogram sum (ops/entropy.py package-merge —
+    # north star C7) and ride the SAME fused readback: the whole encode
+    # pays exactly TWO host syncs (this one + the phase-2 image download)
+    with stats.timer("entropy"):
+        from ..ops.entropy import limited_lengths_pair
+
+        ll_tot_d = sum(ll_parts).at[C.END_OF_BLOCK].add(nblocks)
+        d_tot_d = sum(d_parts)
+        ll_d, d_d = limited_lengths_pair(
+            jnp.minimum(ll_tot_d, 1 << 28).astype(jnp.int32),
+            jnp.minimum(d_tot_d, 1 << 28).astype(jnp.int32),
+            cfg.max_code_bits)
+        handles.append(ll_d.astype(jnp.int32))
+        handles.append(d_d.astype(jnp.int32))
     with stats.timer("readback"):
         hist_all = np.asarray(jnp.concatenate(handles)).astype(np.int64)
+    ll_len = hist_all[-(nh + nd) : -nd]
+    d_len = hist_all[-nd:]
+    hist_all = hist_all[: -(nh + nd)]
     per = Bp * nh + Bp * nd + 1 + 2 * nt
     ll_blocks = np.zeros((len(spans), Bp, nh), np.int64)
     d_blocks = np.zeros((len(spans), Bp, nd), np.int64)
@@ -346,23 +368,11 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
         s1_sum += int(a_c.sum())
         s2_sum += int((((n - offs) % _M) * a_c - b_c).sum())
     stats.adler = (((n + s2_sum) % 65521) << 16) | ((1 + s1_sum) % 65521)
-    ll_total = ll_blocks.sum(axis=(0, 1))
-    d_total = d_blocks.sum(axis=(0, 1))
 
-    # --- one shared table pair: code lengths built ON DEVICE (north star
-    # C7: package-merge → sort+prefix ops; ops/entropy.py), one dispatch
-    # for both alphabets.  Only the header serialization (RLE + ~dozens of
-    # bits) stays host-side.
+    # --- host side of the entropy stage: header serialization + canonical
+    # code assignment (~50 bytes of work; the lengths came off the device
+    # in the phase-1 readback above)
     with stats.timer("entropy"):
-        from ..ops.entropy import limited_lengths_pair
-
-        ll_total[C.END_OF_BLOCK] += nblocks
-        ll_d, d_d = limited_lengths_pair(
-            jnp.asarray(np.minimum(ll_total, 1 << 28).astype(np.int32)),
-            jnp.asarray(np.minimum(d_total, 1 << 28).astype(np.int32)),
-            cfg.max_code_bits)
-        ll_len = np.asarray(ll_d).astype(np.int64)
-        d_len = np.asarray(d_d).astype(np.int64)
         hdr0, hb0 = _dynamic_header(ll_len, d_len, 0)
         hdr1, hb1 = _dynamic_header(ll_len, d_len, 1)
         ll_code, d_code = _encode_tables(ll_len, d_len)

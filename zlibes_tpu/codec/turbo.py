@@ -33,9 +33,6 @@ def _glue_tokens(tokens_g: jax.Array,  # (T, 8, G) int32 decode-grid tokens
                  base_g: jax.Array,    # (8, G) int32 per-lane sub-span
                                        # offset of the first token (0 for
                                        # even lanes; split-256 for odd)
-                 inv: jax.Array,       # (L,) int32: decoded slot of each
-                                       # ORIGINAL lane (identity when the
-                                       # plan didn't sort decode lanes)
                  T: int, C_pad: int, LB: int = tk.LANE_BLOCK):
     """Token post-pass: start offsets + paired resolve-layout reshape.
 
@@ -81,27 +78,27 @@ def _glue_tokens(tokens_g: jax.Array,  # (T, 8, G) int32 decode-grid tokens
     cross_t = jnp.sum(jnp.where(cross, toks, 0), axis=0)
     cross_s = jnp.sum(jnp.where(cross, starts, 0), axis=0) - tk.SUB
 
-    # small per-lane arrays to ORIGINAL lane order (undoing any decode-
-    # lane sort via ``inv``); odd rows prepend the PREVIOUS (even) lane's
-    # crossing token — a one-lane shift, no strided slicing
-    def lane_vec(v):  # (8, G) grid -> (L,) decoded-lane order
+    # small per-lane arrays to lane order; odd rows prepend the PREVIOUS
+    # (even) lane's crossing token — a one-lane shift, no strided slicing.
+    # The decode-lane sort moves whole 4 KiB CHUNKS (16 lanes), so lane
+    # adjacency inside every chunk — all this pass relies on — is
+    # preserved; only the final resolve rows need un-permuting (run_turbo
+    # applies plan.chunk_inv to the (C_pad, 4096) output).
+    def lane_vec(v):  # (8, G) grid -> (L,) lane-ordered
         return jnp.transpose(v.reshape(8, NL, GB), (1, 0, 2)).reshape(L)
 
-    use0 = jnp.pad(lane_vec(has_cross)[inv], (1, 0))[:L] \
+    use0 = jnp.pad(lane_vec(has_cross), (1, 0))[:L] \
         & ((jnp.arange(L, dtype=jnp.int32) & 1) == 1)
-    slot0_t = jnp.pad(lane_vec(cross_t)[inv], (1, 0))[:L]
-    slot0_s = jnp.pad(lane_vec(cross_s)[inv], (1, 0))[:L]
+    slot0_t = jnp.pad(lane_vec(cross_t), (1, 0))[:L]
+    slot0_s = jnp.pad(lane_vec(cross_s), (1, 0))[:L]
     u3 = use0.reshape(C_pad, spc).T[:, :, None]
     pe = tk.TOKENS_PAD - T
 
     def relayout(x, slot0, fill):
-        # decode grid -> lane-major rows -> original lane order (row
-        # gather by ``inv``) -> resolve layout; lane l = i*LB + r*GB + c
-        # feeds chunk l//spc, sub-span l%spc
-        y = jnp.transpose(x.reshape(T, 8, NL, GB), (2, 1, 3, 0)
-                          ).reshape(L, T)
-        y = jnp.take(y, inv, axis=0)
-        rows = jnp.transpose(y.reshape(C_pad, spc, T), (1, 0, 2))
+        # one transpose: (T, 8, NL, GB/spc, spc) -> (spc, chunk dims, T);
+        # lane l = i*LB + r*GB + c sits at chunk l//spc, sub-span l%spc
+        x = x.reshape(T, 8, NL, GB // spc, spc)
+        rows = jnp.transpose(x, (4, 2, 1, 3, 0)).reshape(spc, C_pad, T)
         rows = jnp.pad(rows, ((0, 0), (0, 0), (0, pe)),
                        constant_values=fill)
         s3 = slot0.reshape(C_pad, spc).T[:, :, None]
@@ -162,7 +159,7 @@ class TurboPlan:
     """Host-prepared device arrays for one turbo stream (reusable)."""
 
     __slots__ = ("words", "starts_w", "shift_idx", "bit0", "endb", "lt", "dt",
-                 "base_g", "inv", "L", "L_pad", "C_pad", "T", "LB",
+                 "base_g", "chunk_inv", "L", "L_pad", "C_pad", "T", "LB",
                  "total_out", "lane_end_check")
 
     @staticmethod
@@ -252,21 +249,32 @@ class TurboPlan:
         br[1::2] = np.maximum(br[1::2], 0)  # short final / padded lanes
         br[L:] = 0
 
-        # decode-lane sort (see build docstring): heavy lanes first within
-        # each sort shard; ``inv`` restores original order in the glue
+        # decode-lane sort (see build docstring): whole 4 KiB CHUNKS
+        # (16 paired lanes) ordered by their tallest lane's bit-span, so
+        # similar-cost lanes share Pallas grid blocks and literal-light
+        # blocks exit early; chunk granularity keeps the glue's intra-
+        # chunk lane adjacency intact, and only the (C_pad, 4096) resolve
+        # OUTPUT rows need un-permuting — a 4 KB-row gather (~free),
+        # where a lane-granular inverse permutation of the token arrays
+        # cost more than the sort saved (round-4 profile: 3.7 ms).
+        spc = tk.SUBS_PER_CHUNK
         span = full((end_abs - bit0_abs).astype(np.int32))
+        ckey = span.reshape(p.C_pad, spc).max(axis=1)
         if sort_lanes:
-            assert p.L_pad % sort_shards == 0
-            ssz = p.L_pad // sort_shards
-            perm = np.concatenate([
-                np.argsort(-span[s : s + ssz], kind="stable") + s
-                for s in range(0, p.L_pad, ssz)])
+            assert p.C_pad % sort_shards == 0
+            csz = p.C_pad // sort_shards
+            chunk_perm = np.concatenate([
+                np.argsort(-ckey[s : s + csz], kind="stable") + s
+                for s in range(0, p.C_pad, csz)])
         else:
-            perm = np.arange(p.L_pad)
-        inv = np.argsort(perm, kind="stable")
-        inv_local = (inv - (np.arange(p.L_pad) // (p.L_pad // sort_shards))
-                     * (p.L_pad // sort_shards)).astype(np.int32)
-        p.inv = jnp.asarray(inv_local)
+            chunk_perm = np.arange(p.C_pad)
+        perm = (chunk_perm[:, None] * spc
+                + np.arange(spc)[None, :]).reshape(-1)
+        chunk_inv = np.argsort(chunk_perm, kind="stable")
+        chunk_inv_local = (chunk_inv
+                           - (np.arange(p.C_pad) // (p.C_pad // sort_shards))
+                           * (p.C_pad // sort_shards)).astype(np.int32)
+        p.chunk_inv = jnp.asarray(chunk_inv_local)
 
         p.starts_w = jnp.asarray(sw[perm])
         p.shift_idx = jnp.asarray(rs[perm][:, None]
@@ -303,9 +311,10 @@ def run_turbo(plan: TurboPlan, check: bool = True):
     if check:
         plan.check_meta(np.asarray(_from_grid(meta_g, LB=plan.LB)))
     toks16, starts16 = _glue_tokens(tokens_g, meta_g[0], plan.base_g,
-                                    plan.inv, T=plan.T, C_pad=plan.C_pad,
-                                    LB=plan.LB)
-    return tk.resolve_turbo(toks16, starts16)
+                                    T=plan.T, C_pad=plan.C_pad, LB=plan.LB)
+    rows = tk.resolve_turbo(toks16, starts16)
+    # chunks were decoded in sorted order; one 4 KB-row gather restores it
+    return jnp.take(rows, plan.chunk_inv, axis=0)
 
 
 def inflate_raw_turbo(data: bytes, index: StreamIndex,

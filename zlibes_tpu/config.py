@@ -60,7 +60,7 @@ class CodecConfig:
         return -(-((s * self.max_code_bits + 31) // 32 + 2) // 8) * 8
 
     @staticmethod
-    def turbo(candidates: int = 12, probe_words: int = 8,
+    def turbo(candidates: int = 12, probe_words: int = 6,
               lazy: bool = True) -> "CodecConfig":
         """The TPU-native fast profile: streams remain 100% zlib-conformant
         (any inflate decodes them) but carry the structure the Pallas
@@ -70,8 +70,10 @@ class CodecConfig:
         code lengths capped at 9 bits, and no token wider than 32 bits
         (far long matches split so the decode buffer refill never
         stalls).  (probe_words, candidates) default to the measured
-        speed/ratio knee: S=8/J=12 runs the matcher 1.7x faster than
-        S=16/J=16 for +0.17% compressed size on the benchmark corpus."""
+        speed/ratio knee (tools/sweep_matcher.py, round 4): S=6/J=12 is
+        +0.06% compressed size vs S=8/J=12 for one fewer operand in the
+        matcher's dominant multi-operand sort; the 27-byte probe cap is
+        backstopped by the dist-1 run detector for long RLE matches."""
         return CodecConfig(
             seg_size=512, chunk_reset=4096, shared_tables=True,
             max_code_bits=9, candidates=candidates,

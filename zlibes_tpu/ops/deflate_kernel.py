@@ -47,21 +47,32 @@ def token_symbols(
     ds = jnp.clip(toks_dist, 0, C.WINDOW_SIZE)
     dsym = jnp.where(is_match, dist_symbol(ds), -1)
 
-    # histograms as batched one-hot matmuls (scatter-adds cost ~10 ns per
-    # index; a bf16 one-hot summed on the MXU is exact and ~5x cheaper)
-    from .symbol_math import onehot_rows
-
+    # histograms via per-block sort + boundary bisection: the one-hot
+    # matmul this replaces materialized a (B, nseg*T, S) bf16 tensor
+    # (~1.2 GB of HBM traffic per 2 MiB dispatch — it WAS the symbols
+    # stage).  A 1-operand row sort is ~1 ms, and counts are differences
+    # of log-bisection ranks at the S+1 class boundaries — no scatters,
+    # no one-hot.
     def hist(sym, mask, S):
-        oh = onehot_rows(jnp.where(mask, sym, S).reshape(B, nseg * T),
-                         S, jnp.bfloat16)
-        ones = jnp.ones((B, 1, nseg * T), jnp.bfloat16)
-        h = jax.lax.dot_general(
-            ones, oh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        return h[:, 0, :].astype(jnp.int32)
+        n = nseg * T
+        rows = jnp.sort(jnp.where(mask, sym, S).reshape(B, n), axis=1)
+        bounds = jnp.broadcast_to(
+            jnp.arange(1, S + 1, dtype=jnp.int32)[None, :], (B, S))
+        # batched monotone bisection: cnt[b] = #elements < b, all S
+        # boundaries at once (one (B, S) gather per halving step)
+        cnt = jnp.zeros((B, S), jnp.int32)
+        step = 1 << (n - 1).bit_length()
+        while step:
+            mid = cnt + step
+            v = jnp.take_along_axis(rows, jnp.minimum(mid, n) - 1, axis=1)
+            cnt = jnp.where((mid <= n) & (v < bounds), mid, cnt)
+            step //= 2
+        ranks = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), cnt], axis=1)
+        return jnp.diff(ranks, axis=1)
 
     ll_freq = hist(lsym, valid, C.NUM_LITLEN_SYMBOLS)
-    d_freq = hist(dsym, is_match, C.NUM_DIST_SYMBOLS)
+    d_freq = hist(jnp.where(is_match, dsym, C.NUM_DIST_SYMBOLS),
+                  is_match, C.NUM_DIST_SYMBOLS)
     return lsym, dsym, valid, ll_freq, d_freq
 
 

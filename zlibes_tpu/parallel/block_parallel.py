@@ -321,8 +321,8 @@ def sharded_turbo_inflate_step(
     endb: jax.Array,       # (8, L_pad//8) int32 lane-grid, cols sharded
     base_g: jax.Array,     # (8, L_pad//8) int32 lane-grid first-token
                            # sub-span offsets, cols sharded
-    inv: jax.Array,        # (L_pad,) int32 within-shard decode-lane
-                           # inverse permutation (local indices), sharded
+    chunk_inv: jax.Array,  # (C_pad,) int32 within-shard chunk inverse
+                           # permutation (local indices), sharded
     lt: jax.Array,         # (8, 512) int32 replicated litlen table
     dt: jax.Array,         # (8, 512) int32 replicated dist table
     mesh: Mesh, T: int, LB: int, CB: int,
@@ -350,15 +350,15 @@ def sharded_turbo_inflate_step(
     assert L_loc % LB == 0, "need whole lane-blocks per device"
     C_loc = L_loc // tk.SUBS_PER_CHUNK
 
-    def body(starts_w, shift_idx, bit0, endb, base_g, inv):
+    def body(starts_w, shift_idx, bit0, endb, base_g, chunk_inv):
         fetched = tk.extract_lanes(words, starts_w)
         lanes = tk.shift_lanes(fetched, shift_idx, LB=LB)
         planes = _to_planes(lanes, LB=LB)
         tg, mg = tk.decode_turbo(planes, bit0, endb, lt, dt, T=T, LB=LB)
         meta = _from_grid(mg, LB=LB)
-        t16, s16 = _glue_tokens(tg, mg[0], base_g, inv, T=T, C_pad=C_loc,
-                                LB=LB)
-        rows = tk.resolve_turbo(t16, s16, CB=CB)
+        t16, s16 = _glue_tokens(tg, mg[0], base_g, T=T, C_pad=C_loc, LB=LB)
+        rows = jnp.take(tk.resolve_turbo(t16, s16, CB=CB), chunk_inv,
+                        axis=0)
         return rows, meta
 
     return shard_map(
@@ -367,7 +367,7 @@ def sharded_turbo_inflate_step(
                   P(None, "blocks"), P(None, "blocks"), P("blocks")),
         out_specs=(P("blocks"), P(None, "blocks")),
         check_vma=False,
-    )(starts_w, shift_idx, bit0, endb, base_g, inv)
+    )(starts_w, shift_idx, bit0, endb, base_g, chunk_inv)
 
 
 def parallel_inflate_turbo(data: bytes, index, mesh: Mesh,
@@ -406,7 +406,7 @@ def parallel_inflate_turbo(data: bytes, index, mesh: Mesh,
             _put(np.asarray(plan.bit0), sh_col),
             _put(np.asarray(plan.endb), sh_col),
             _put(np.asarray(plan.base_g), sh_col),
-            _put(np.asarray(plan.inv), sh),
+            _put(np.asarray(plan.chunk_inv), sh),
             plan.lt, plan.dt,
         )
     with _phase("dispatch"):

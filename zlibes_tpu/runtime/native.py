@@ -82,7 +82,7 @@ _ERRORS = {
 
 
 def scan(data: bytes, bit_offset: int = 0, anchor_every: int = 4096,
-         dict_len: int = 0, threads: int = 0, span_bytes: int = 1 << 20):
+         dict_len: int = 0, threads: int = 0, span_bytes: int = 0):
     """Native structure scan of a raw DEFLATE stream.
 
     ``threads`` > 1 (or 0 = hardware concurrency) runs the rapidgzip-style
@@ -99,6 +99,14 @@ def scan(data: bytes, bit_offset: int = 0, anchor_every: int = 4096,
     lib = _get()
     if lib is None:
         raise RuntimeError("native runtime unavailable")
+    if span_bytes <= 0:
+        # ~2 spans per thread balances the pool (the main thread scans
+        # span 0 then drains) while keeping the per-span candidate-search
+        # overhead amortized; 256 KiB floor
+        import os as _os
+
+        nt = threads if threads > 0 else (_os.cpu_count() or 1)
+        span_bytes = max(1 << 18, len(data) // max(1, 2 * nt))
     raw = np.frombuffer(bytes(data), dtype=np.uint8)
     # zscan's bit reader does unaligned 64-bit loads: pad 8 readable
     # bytes past the logical end (nbytes stays the logical size)

@@ -22,6 +22,7 @@
 #include <cstring>
 #include <cstddef>
 #include <atomic>
+#include <memory>
 #include <thread>
 #include <vector>
 
@@ -342,8 +343,11 @@ int scan_core(BitReader& br, ScanCtx& C, size_t stop_bit, bool speculative,
 // searched for — any bit pattern parses as one, so they carry no signal)
 bool plausible_header(const uint8_t* data, size_t nbits, size_t bit) {
   if (bit + 3 > nbits) return false;
-  BitReader br{data, nbits, bit, false};
-  uint64_t w = br.peek64();
+  // one unaligned load serves the first 57 bits; candidates die on
+  // btype/HLIT/HDIST within it, so the common case is a single memcpy
+  uint64_t w;
+  memcpy(&w, data + (bit >> 3), 8);
+  w >>= bit & 7;
   uint32_t btype = (uint32_t)(w >> 1) & 3;
   if (btype == 0) {
     size_t byte = ((bit + 3) + 7) >> 3;
@@ -358,15 +362,123 @@ bool plausible_header(const uint8_t* data, size_t nbits, size_t bit) {
   if (hlit > 29 || hdist > 29) return false;
   uint32_t hclen = ((uint32_t)(w >> 13) & 15) + 4;
   if (bit + 17 + hclen * 3 > nbits) return false;
-  // precode Kraft pre-check (oversubscription kills ~99% of noise)
+  // precode Kraft pre-check (oversubscription kills ~99% of noise).
+  // The 3-bit lengths span bits [17, 17 + 3*hclen) <= 74: the first 13
+  // ride the loaded window, the rest come from one more load.
   long kraft = 0;
   int nz = 0;
-  for (uint32_t i = 0; i < hclen; i++) {
-    BitReader b2{data, nbits, bit + 17 + i * 3, false};
-    uint32_t v = b2.peek(3);
+  uint64_t lens = w >> 17;  // 40 valid bits -> 13 whole entries
+  uint32_t n0 = hclen < 13 ? hclen : 13;
+  for (uint32_t i = 0; i < n0; i++) {
+    uint32_t v = (uint32_t)(lens >> (i * 3)) & 7;
     if (v) { kraft += 1L << (7 - v); nz++; }
   }
-  return nz >= 1 && kraft <= (1L << 7);
+  if (hclen > 13) {
+    size_t bit2 = bit + 17 + 39;
+    uint64_t w2;
+    memcpy(&w2, data + (bit2 >> 3), 8);
+    w2 >>= bit2 & 7;
+    for (uint32_t i = 13; i < hclen; i++) {
+      uint32_t v = (uint32_t)(w2 >> ((i - 13) * 3)) & 7;
+      if (v) { kraft += 1L << (7 - v); nz++; }
+    }
+  }
+  return nz >= 1 && kraft == (1L << 7);  // real encoders emit COMPLETE
+                                         // precodes; require exactness
+}
+
+// full lightweight dynamic-header validation: tiny 128-entry precode
+// table + code-length RLE parse + litlen/dist completeness — rejects
+// essentially all random bit positions that slip past plausible_header,
+// so scan_core (with its 4 KB root-table builds) only runs on candidates
+// that are almost certainly real block starts.
+bool try_header_dyn(const uint8_t* data, size_t nbits, size_t bit) {
+  BitReader br{data, nbits, bit + 3, false};
+  uint32_t hlit = br.get(5) + 257;
+  uint32_t hdist = br.get(5) + 1;
+  uint32_t hclen = br.get(4) + 4;
+  uint8_t clc[19] = {0};
+  for (uint32_t i = 0; i < hclen; i++) clc[kClcOrder[i]] = br.get(3);
+  if (br.overrun) return false;
+  // canonical 7-bit precode table (LSB-first indexed)
+  int bl[8] = {0};
+  for (int i = 0; i < 19; i++) bl[clc[i]]++;
+  bl[0] = 0;
+  long kraft = 0;
+  for (int l = 1; l <= 7; l++) kraft += (long)bl[l] << (7 - l);
+  if (kraft != (1L << 7)) return false;
+  int next[9] = {0};
+  int code = 0;
+  for (int l = 1; l <= 7; l++) {
+    code = (code + bl[l - 1]) << 1;
+    next[l] = code;
+  }
+  int8_t sym_of[128];
+  int8_t len_of[128];
+  memset(len_of, 0, sizeof(len_of));
+  for (int s = 0; s < 19; s++) {
+    int l = clc[s];
+    if (!l) continue;
+    int c = next[l]++;
+    int r = 0;
+    for (int b = 0; b < l; b++) { r = (r << 1) | (c & 1); c >>= 1; }
+    for (int idx = r; idx < 128; idx += 1 << l) {
+      sym_of[idx] = (int8_t)s;
+      len_of[idx] = (int8_t)l;
+    }
+  }
+  // parse the code-length sequence
+  uint8_t nz_count[16] = {0};
+  uint8_t dnz[16] = {0};
+  uint32_t i = 0;
+  uint8_t prev = 0;
+  bool have_prev = false;
+  while (i < hlit + hdist) {
+    uint32_t w = (uint32_t)br.peek64() & 127;
+    int l = len_of[w];
+    if (!l) return false;
+    if (br.pos + l > nbits) return false;
+    br.pos += l;
+    int sym = sym_of[w];
+    uint32_t rep = 1;
+    uint8_t v = 0;
+    if (sym < 16) {
+      v = (uint8_t)sym;
+      have_prev = true;
+      prev = v;
+    } else if (sym == 16) {
+      if (!have_prev) return false;
+      rep = 3 + br.get(2);
+      v = prev;
+    } else if (sym == 17) {
+      rep = 3 + br.get(3);
+      v = 0;
+    } else {
+      rep = 11 + br.get(7);
+      v = 0;
+    }
+    if (br.overrun || i + rep > hlit + hdist) return false;
+    for (uint32_t k = 0; k < rep; k++) {
+      uint32_t at = i + k;
+      if (v) {
+        if (at < hlit) nz_count[v]++; else dnz[v]++;
+      }
+    }
+    i += rep;
+  }
+  // litlen code must be complete (canonical zlib: "invalid literal/
+  // lengths set"); dist may be incomplete only for <= 1 code
+  long kl = 0;
+  long nd = 0;
+  long kd = 0;
+  for (int l = 1; l <= 15; l++) {
+    kl += (long)nz_count[l] << (15 - l);
+    kd += (long)dnz[l] << (15 - l);
+    nd += dnz[l];
+  }
+  if (kl != (1L << 15)) return false;
+  if (nd > 1 && kd != (1L << 15)) return false;
+  return true;
 }
 
 }  // namespace
@@ -408,16 +520,18 @@ int zscan(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
 
 namespace {
 
-// per-worker speculative result
+// per-worker speculative result (uninitialized new[] buffers: vector
+// resize() would zero tens of MB per scan)
 struct SpecResult {
   bool found = false;
   bool final_seen = false;
   size_t cand_bit = 0;
   size_t end_bit = 0;
-  std::vector<int32_t> tv, td;
-  std::vector<BlockRec> blk;
-  std::vector<int64_t> abit, aout;
-  std::vector<int32_t> ablk;
+  std::unique_ptr<int32_t[]> tv, td;
+  std::unique_ptr<BlockRec[]> blk;
+  std::unique_ptr<int64_t[]> abit, aout;
+  std::unique_ptr<int32_t[]> ablk;
+  int64_t ntok = 0, nblk = 0, nanch = 0;
   int64_t out = 0, crossing = 0;
 };
 
@@ -430,17 +544,23 @@ void spec_worker(const uint8_t* data, size_t nbits, size_t sbit, size_t ebit,
   int64_t blk_cap = span_bytes / 512 + 64;
   int64_t anch_cap =
       (anchor_every > 0 ? tok_cap / (anchor_every / 4 + 1) : 0) + 1024;
-  R->tv.resize(tok_cap);
-  R->td.resize(tok_cap);
-  R->blk.resize(blk_cap);
-  R->abit.resize(anch_cap);
-  R->aout.resize(anch_cap);
-  R->ablk.resize(anch_cap);
+  R->tv.reset(new int32_t[tok_cap]);
+  R->td.reset(new int32_t[tok_cap]);
+  R->blk.reset(new BlockRec[blk_cap]);
+  R->abit.reset(new int64_t[anch_cap]);
+  R->aout.reset(new int64_t[anch_cap]);
+  R->ablk.reset(new int32_t[anch_cap]);
   for (size_t bit = sbit; bit < ebit; bit++) {
     if (!plausible_header(data, nbits, bit)) continue;
+    // dynamic candidates get the full light header validation; stored
+    // candidates already passed the LEN/NLEN filter
+    uint64_t w0;
+    memcpy(&w0, data + (bit >> 3), 8);
+    if ((((uint32_t)(w0 >> (bit & 7)) >> 1) & 3) == 2
+        && !try_header_dyn(data, nbits, bit)) continue;
     BitReader br{data, nbits, bit, false};
-    ScanCtx C{R->tv.data(), R->td.data(), tok_cap, R->blk.data(), blk_cap,
-              R->abit.data(), R->aout.data(), R->ablk.data(), anch_cap,
+    ScanCtx C{R->tv.get(), R->td.get(), tok_cap, R->blk.get(), blk_cap,
+              R->abit.get(), R->aout.get(), R->ablk.get(), anch_cap,
               anchor_every};
     int rc = scan_core(br, C, ebit, true, 0);
     if (rc == Z_DONE_ || rc == Z_STOP_) {
@@ -450,12 +570,9 @@ void spec_worker(const uint8_t* data, size_t nbits, size_t sbit, size_t ebit,
       R->end_bit = br.pos;
       R->out = C.out;
       R->crossing = C.crossing;
-      R->tv.resize(C.ntok);
-      R->td.resize(C.ntok);
-      R->blk.resize(C.nblk);
-      R->abit.resize(C.nanch);
-      R->aout.resize(C.nanch);
-      R->ablk.resize(C.nanch);
+      R->ntok = C.ntok;
+      R->nblk = C.nblk;
+      R->nanch = C.nanch;
       return;
     }
     // cap overruns mean the speculation budget is too small, not that the
@@ -538,12 +655,11 @@ int zscan_parallel(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
     if (R.found && R.cand_bit == br.pos) {
       // splice: re-validate the head (speculative dist checks were
       // relaxed — only the first 32 KiB of span output can reach back)
-      if (C.ntok + (int64_t)R.tv.size() > max_toks) return ZE_TOK_CAP;
-      if (C.nblk + (int64_t)R.blk.size() > max_blocks) return ZE_BLK_CAP;
-      if (C.nanch + (int64_t)R.abit.size() > max_anchors)
-        return ZE_ANCH_CAP;
+      if (C.ntok + R.ntok > max_toks) return ZE_TOK_CAP;
+      if (C.nblk + R.nblk > max_blocks) return ZE_BLK_CAP;
+      if (C.nanch + R.nanch > max_anchors) return ZE_ANCH_CAP;
       int64_t rel_out = 0;
-      for (size_t t = 0; t < R.tv.size(); t++) {
+      for (int64_t t = 0; t < R.ntok; t++) {
         int32_t d = R.td[(size_t)t];
         if (d) {
           if (rel_out >= 32768) break;
@@ -553,23 +669,22 @@ int zscan_parallel(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
           rel_out++;
         }
       }
-      memcpy(toks_val + C.ntok, R.tv.data(), R.tv.size() * 4);
-      memcpy(toks_dist + C.ntok, R.td.data(), R.td.size() * 4);
-      for (size_t b = 0; b < R.blk.size(); b++) {
-        BlockRec rec = R.blk[b];
+      memcpy(toks_val + C.ntok, R.tv.get(), (size_t)R.ntok * 4);
+      memcpy(toks_dist + C.ntok, R.td.get(), (size_t)R.ntok * 4);
+      for (int64_t b = 0; b < R.nblk; b++) {
+        BlockRec rec = R.blk[(size_t)b];
         rec.out_start += C.out;
         rec.tok_start += C.ntok;
-        blocks[C.nblk + (int64_t)b] = rec;
+        blocks[C.nblk + b] = rec;
       }
-      for (size_t a = 0; a < R.abit.size(); a++) {
-        anchor_bit[C.nanch + (int64_t)a] = R.abit[a];
-        anchor_out[C.nanch + (int64_t)a] = R.aout[a] + C.out;
-        anchor_block[C.nanch + (int64_t)a] =
-            R.ablk[a] + (int32_t)C.nblk;
+      for (int64_t a = 0; a < R.nanch; a++) {
+        anchor_bit[C.nanch + a] = R.abit[(size_t)a];
+        anchor_out[C.nanch + a] = R.aout[(size_t)a] + C.out;
+        anchor_block[C.nanch + a] = R.ablk[(size_t)a] + (int32_t)C.nblk;
       }
-      C.ntok += (int64_t)R.tv.size();
-      C.nblk += (int64_t)R.blk.size();
-      C.nanch += (int64_t)R.abit.size();
+      C.ntok += R.ntok;
+      C.nblk += R.nblk;
+      C.nanch += R.nanch;
       C.out += R.out;
       C.crossing |= R.crossing;
       br.pos = R.end_bit;
