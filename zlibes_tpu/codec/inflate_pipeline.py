@@ -162,26 +162,29 @@ def inflate_raw_scan(data: bytes, byte_offset: int = 0,
     Returns (output bytes ndarray, list[BlockInfo], end_bit).
 
     Uses the native C++ scanner when available — speculative-parallel
-    over ~1 MB spans (rapidgzip-style: per-span block-boundary search,
-    splice-on-match, serial rescan on mis-speculation); the extracted
-    token stream is then LZ-resolved ON DEVICE in 4 MiB windows with
-    32 KiB prefix halos (_resolve_tokens_device →
-    ops.inflate_kernel.resolve_global).
-    Falls back to single-lane device decode when no C++ toolchain exists.
+    over compressed spans (rapidgzip-style: per-span block-boundary
+    search, splice-on-match, serial rescan on mis-speculation) — and the
+    C++ LZ resolver (host output is the destination anyway; see the
+    routing comment below).  Falls back to single-lane device decode +
+    the windowed device resolve when no C++ toolchain exists.
     """
     from ..runtime import native
 
     dict_tail = bytes(dictionary[-C.WINDOW_SIZE:]) if dictionary else None
     if native.available():
-        # C++ structure pass: speculative-parallel across ~1 MB spans
+        # C++ structure pass: speculative-parallel across compressed spans
         # (rapidgzip-style; serial per span, bit-identical to a serial
-        # scan); LZ resolution + output materialization run on device
+        # scan).  LZ resolution runs in the C++ runtime too: the output
+        # returns to the host anyway, and the device global resolve pays
+        # ~7 pointer-doubling gather rounds over the whole window
+        # (~200 ms for 3.8 MB) where sequential memcpy splicing is
+        # memory-speed.  Device-resident consumers (inflate_to_device,
+        # the indexed/turbo paths) keep the device resolvers.
         toks_val, toks_dist, index, end_bit, out_len = native.scan(
             data, bit_offset=byte_offset * 8,
             dict_len=len(dict_tail) if dict_tail else 0)
-        out = _resolve_tokens_device(toks_val.astype(np.int32),
-                                 toks_dist.astype(np.int32),
-                                 dictionary=dict_tail)
+        out = native.resolve(toks_val, toks_dist, out_len,
+                             dictionary=dict_tail)
         return out, index.blocks, end_bit
 
     stream = _Stream(data)
@@ -586,7 +589,14 @@ def inflate(data: bytes, verify_checksum: bool = True, index=None,
         if trailer_pos + 4 > len(data):
             raise TruncatedError("missing Adler-32 trailer")
         expect = int.from_bytes(data[trailer_pos : trailer_pos + 4], "big")
-        actual = int(adler32_device(jnp.asarray(out), out.size))
+        from ..runtime import native as _nat
+
+        if _nat.available():
+            # out is host-resident here; the C++ Adler avoids a 1-RPC
+            # device upload just to checksum
+            actual = _nat.adler32(out.tobytes())
+        else:
+            actual = int(adler32_device(jnp.asarray(out), out.size))
         if expect != actual:
             raise ChecksumError(f"Adler-32 mismatch: {expect:#x} != {actual:#x}")
     return out.tobytes()
