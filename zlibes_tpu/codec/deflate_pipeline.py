@@ -218,7 +218,9 @@ def _select_turbo_glue(dev_bytes, matches, n_valid, N, SEG_SIZE, lazy,
     B = matches.shape[0]
     nseg = N // SEG_SIZE
     L = B * nseg
-    LB = min(tk.LANE_BLOCK, L)
+    # largest power-of-two divisor of L caps the Pallas lane block (a
+    # 30-block mesh shard has L = 3840 lanes — not a LANE_BLOCK multiple)
+    LB = min(tk.LANE_BLOCK, L & -L)
     ml = (matches >> 16) & 0x1FF
     dist = matches & 0xFFF
     lit = dev_bytes[:, :N].astype(jnp.int32)
