@@ -78,10 +78,14 @@ def main() -> None:
     stats = CodecStats()
     comp, index = dp.deflate(data, with_index=True, config=cfg, stats=stats)
     assert pyzlib.decompress(comp) == data
-    t0 = time.perf_counter()
-    stats2 = CodecStats()
-    comp, index = dp.deflate(data, with_index=True, config=cfg, stats=stats2)
-    t_def_wall = time.perf_counter() - t0
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        stats2 = CodecStats()
+        comp, index = dp.deflate(data, with_index=True, config=cfg,
+                                 stats=stats2)
+        walls.append(time.perf_counter() - t0)
+    t_def_wall = float(np.median(walls))
     ratio = len(comp) / nbytes
     _log(f"deflate: {len(comp)} bytes (ratio {ratio:.4f}), "
          f"wall {t_def_wall*1e3:.0f} ms incl tunnel RPCs; "

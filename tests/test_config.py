@@ -129,3 +129,12 @@ def test_index_sidecar_versioning(tmp_path):
     np.savez(p1, **z)
     with pytest.raises(ValueError, match="format v1"):
         StreamIndex.load(p1)
+
+
+def test_level_size_ordering():
+    """VERDICT r3 #8: level-9 size <= level-6 size <= reference (191,734
+    on raw.bin).  Uses the full corpus — sizes are deterministic."""
+    raw = (Path(__file__).parent / "golden" / "raw.bin").read_bytes()
+    s6 = len(zlibes_tpu.deflate(raw, level=6))
+    s9 = len(zlibes_tpu.deflate(raw, level=9))
+    assert s9 <= s6 <= 191734, (s9, s6)

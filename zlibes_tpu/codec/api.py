@@ -122,7 +122,6 @@ def build_index(data: bytes, anchor_every: int = 4096):
     runtime scanner.
     """
     from ..runtime import native
-    from ..spec import refmodel as _rm2
 
     if not native.available():
         raise RuntimeError("native runtime unavailable")

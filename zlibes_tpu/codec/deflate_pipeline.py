@@ -32,8 +32,7 @@ import jax.numpy as jnp
 from ..ops import huffman, lz77
 from ..ops.adler32 import adler32_device
 from ..ops.deflate_kernel import (gather_compressed, pack_payload,
-                                  pack_payload_fast, pack_payload_turbo,
-                                  token_symbols)
+                                  pack_payload_turbo, token_symbols)
 from ..ops.lz77 import SEG, find_matches, select_tokens
 from ..spec import constants as C
 from ..spec.refmodel import BitWriter, BlockInfo, StreamIndex, _rle_code_lengths
