@@ -4,10 +4,14 @@ Block-data-parallel encode (SURVEY.md §2 "Block-parallel deflate"):
 input splits into ≤128 KiB blocks; per dispatch a batch of blocks runs
 
   device: sort-based match finding → segment-lane greedy/lazy selection
-          → symbol mapping + per-block histograms
-  host:   package-merge code lengths, RLE, header bits, per-block
-          stored/fixed/dynamic choice (header-sized work)
-  device: payload bit-pack (scan + word scatter), compacted download
+          → symbol mapping + per-block histograms (+ for the shared-table
+          profile: device package-merge code lengths riding the same
+          fused readback — the whole encode pays TWO host syncs)
+  host:   header RLE/serialization; per-block stored/fixed/dynamic choice
+          (general path only; header-sized work)
+  device: payload bit-pack — scan + word placement; the turbo profile
+          packs straight to a COMPACTED multi-block stream image via one
+          global sort splice (pack_payload_turbo_dense)
   host:   splice blocks byte-aligned (each non-final compressed block is
           followed by an empty stored "sync" block, so every block starts
           on a byte boundary — ~5 bytes per 128 KiB), container framing

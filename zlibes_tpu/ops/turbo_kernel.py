@@ -26,13 +26,18 @@ the only trustworthy method on this setup, tools/probe_pallas*.py):
   * Table lookups are per-bank vreg gathers from (8, 128) tiles whose
     sublanes all hold the same 128 table entries; 4 banks + selects serve
     all 1024 lanes in ~10 instructions.
-  * The stream refill is the throughput floor: each lane owns a 256-word
-    row, and a per-lane row gather costs ~1 instruction per 8 lanes per
-    bank.  A 96-bit shift buffer per lane turns that into exactly ONE
-    refill gather per iteration, stall-free: consumption per iteration is
-    at most 33 bits, and >32-bit tokens need a 5-bit length-extra field,
-    i.e. cover >=131 output bytes, so at most 4 such tokens exist per
-    512 B sub-chunk — the buffer never drains below 33 valid bits.
+  * The stream refill is the throughput floor: the per-lane word fetch is
+    a log-tree of vreg selects over the word-planes (no gather-friendly
+    layout exists for it).  The round-4 decode loop processes TWO tokens
+    per iteration with ONE paired 64-bit refill into a 128-bit shift
+    buffer: split_far caps every coded token at 32 bits, so a token pair
+    consumes <= 64 bits — exactly the refill rate — and the pair-aligned
+    cursor halves the select tree (two 47-trees sharing one index vreg
+    vs one 95-tree per token).
+  * Decode lanes are sorted by bit-span at 4 KiB-chunk granularity
+    (TurboPlan.build), so each 1024-lane grid block runs only to ITS max
+    token count; the glue's intra-chunk lane adjacency survives and only
+    the final resolve rows are un-permuted.
 """
 from __future__ import annotations
 
