@@ -68,10 +68,17 @@ def main() -> None:
     def _null(x):
         return x + 1
     _sync(_null(jnp.int32(0)))
-    t0 = time.perf_counter()
-    _sync(_null(jnp.int32(1)))
-    rpc = time.perf_counter() - t0
-    _log(f"dispatch+readback RPC floor: {rpc*1e3:.1f} ms")
+    floors = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        _sync(_null(jnp.int32(i)))
+        floors.append(time.perf_counter() - t0)
+    # min, to pair with the min-of-repeats metrics below: subtracting a
+    # one-shot floor measured in a slow tunnel moment would overstate
+    # every amortized number (observed: a single 47.7 ms floor reading
+    # vs a 26 ms steady floor turned 1.7 GB/s into a fictitious 3.7)
+    rpc = float(np.min(floors))
+    _log(f"dispatch+readback RPC floor: {rpc*1e3:.1f} ms (min of 5)")
 
     # ---- deflate (turbo profile: the stream the flagship decoder eats)
     cfg = CodecConfig.turbo()
