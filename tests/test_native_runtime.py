@@ -129,3 +129,17 @@ def test_parallel_scan_stored_spans():
     a = _scan_tuple(comp, threads=1)
     b = _scan_tuple(comp, threads=0, span_bytes=1 << 17)
     assert a == b
+
+
+def test_parallel_scan_fixed_block_stream_fallback():
+    """Z_FIXED streams contain only fixed-Huffman blocks; the candidate
+    filter deliberately never matches them (every bit pattern parses as a
+    fixed block, so they carry no signal) — the whole scan must fall back
+    serially and still be exact."""
+    co = pyzlib.compressobj(6, pyzlib.DEFLATED, 15, 8, pyzlib.Z_FIXED)
+    data = RAW * 4
+    comp = (co.compress(data) + co.flush())[2:-4]
+    assert len(comp) > (1 << 18)
+    a = _scan_tuple(comp, threads=1)
+    b = _scan_tuple(comp, threads=2, span_bytes=1 << 18)
+    assert a == b

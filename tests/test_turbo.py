@@ -266,3 +266,76 @@ def test_turbo_fuzz_batched_lanes():
     # token sequence; everything else must be caught at lane granularity
     assert detected >= 0.98 * total_corruptions, (
         detected, total_corruptions)
+
+
+def test_pack_dense_matches_block_buffers():
+    """The compacted-image packer must produce byte-identical stream words
+    to the per-block-buffer packer for every block (same lane rows, same
+    bit offsets — only the splice differs)."""
+    import jax.numpy as jnp
+
+    from zlibes_tpu.codec.deflate_pipeline import (_encode_tables,
+                                                   _select_turbo_glue,
+                                                   package_merge_np)
+    from zlibes_tpu.ops.deflate_kernel import (pack_payload_turbo,
+                                               pack_payload_turbo_dense,
+                                               token_symbols)
+    from zlibes_tpu.ops.lz77 import find_matches
+    from zlibes_tpu.spec import constants as C
+
+    cfg = CodecConfig.turbo(candidates=4, probe_words=4)
+    N = BS
+    nseg = N // cfg.seg_size
+    Bp = 3  # includes a SHORT last block (trailing empty lanes) + padding
+    data = _mixed_data(2 * N + 5000, seed=9)
+    arr = np.frombuffer(data, np.uint8)
+    blk = np.zeros((Bp + 1, N + 8), np.uint8)
+    nv = np.zeros(Bp + 1, np.int32)
+    for i in range(Bp):
+        c = arr[i * N : (i + 1) * N]
+        blk[i, : c.size] = c
+        nv[i] = c.size
+    m = find_matches(jnp.asarray(blk), jnp.asarray(nv), N=N,
+                     S=cfg.probe_words, J=cfg.candidates,
+                     reset=cfg.chunk_reset, two_phase=True)
+    tv, td, cnt = _select_turbo_glue(jnp.asarray(blk), m, jnp.asarray(nv),
+                                     N=N, SEG_SIZE=cfg.seg_size, lazy=True,
+                                     split_far=True)
+    _ls, _ds, valid, llf, dfq = token_symbols(tv, td, cnt, nseg=nseg)
+    llt = np.asarray(llf).astype(np.int64).sum(0)
+    dft = np.asarray(dfq).astype(np.int64).sum(0)
+    llt[C.END_OF_BLOCK] += 1
+    ll_len = package_merge_np(llt, 9)
+    d_len = package_merge_np(dft, 9)
+    if d_len.max(initial=0) == 0:
+        d_len[0] = 1
+    ll_code, d_code = _encode_tables(ll_len, d_len)
+    d_code = np.pad(d_code, (0, 32 - d_code.size))
+    d_len = np.pad(d_len, (0, 32 - d_len.size))
+    B = Bp + 1
+    tabs = (jnp.asarray(np.broadcast_to(ll_code, (B, 288))),
+            jnp.asarray(np.broadcast_to(ll_len, (B, 288))),
+            jnp.asarray(np.broadcast_to(d_code, (B, 32))),
+            jnp.asarray(np.broadcast_to(d_len, (B, 32))))
+    hdrb = jnp.asarray(np.array([100, 77, 13, 100], np.int32))
+    en = jnp.ones(B, bool)
+    W = (15 * N + 4096) // 32
+    R = cfg.pack_row_width()
+    eob_len = int(ll_len[C.END_OF_BLOCK])
+
+    words, pe_a, lb_a, sb_a, so_a = pack_payload_turbo(
+        tv, td, valid, *tabs, hdrb, en, nseg=nseg, W=W, R=R)
+    dense, pe_b, lb_b, sb_b, so_b = pack_payload_turbo_dense(
+        tv, td, valid, *tabs, hdrb, en, jnp.int32(eob_len), nseg=nseg, R=R)
+    for x, y in ((pe_a, pe_b), (lb_a, lb_b), (sb_a, sb_b), (so_a, so_b)):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+    pe = np.asarray(pe_a).astype(np.int64)
+    used = (pe + eob_len + 31) // 32 + 1
+    off = np.concatenate([[0], np.cumsum(used)])
+    words_np = np.asarray(words)
+    dense_np = np.asarray(dense)
+    for i in range(B):
+        w = int(used[i])
+        assert np.array_equal(
+            dense_np[int(off[i]) : int(off[i]) + w].astype(np.uint32),
+            words_np[i, :w].astype(np.uint32)), f"block {i}"
