@@ -100,8 +100,9 @@ def main() -> None:
 
     # ---- inflate: full device pipeline, scan-amortized
     plan = tb.TurboPlan.build(comp, index)
-    K = 16  # tunnel RPC jitter is ±few ms; more scan steps per readback
-            # shrink its share of the per-exec quotient
+    K = 24  # tunnel RPC jitter is ±few ms; more scan steps per readback
+            # shrink its share of the per-exec quotient (16 -> 24 in r5:
+            # the residual RPC share was still visible in driver captures)
     words_np = np.asarray(plan.words)
     stack = jnp.asarray(np.stack([words_np] * K))  # distinct buffer
 
@@ -144,82 +145,61 @@ def main() -> None:
     _log(f"inflate: {t_inf*1e3:.3f} ms/exec -> {inf_gbps:.3f} GB/s "
          f"(min of 7; median {nbytes/((np.median(times)-rpc)/K)/1e9:.3f})")
 
-    # ---- default-profile (level 6, per-block 15-bit tables) indexed
-    # decode: the XLA lock-step pipeline users' own non-turbo streams take
-    # (VERDICT r3 #5 — publish its GB/s next to turbo's)
+    # ---- default-profile (level 6, per-block 15-bit tables) decode:
+    # the wide two-level-table Pallas pipeline — the device path every
+    # non-turbo stream of THIS encoder takes (VERDICT r4 #1: a real
+    # level-6-encoded stream, full pipeline, round-trip gated)
     from zlibes_tpu.codec import inflate_pipeline as ip
-    # stream encoded with a small-matcher preset: the DECODE structure
-    # (per-block 15-bit dynamic tables, 4 KiB anchors) is identical to
-    # level 6-9 output, and the level-2 matcher avoids the one-time
-    # ~30 min cold compile of the 34-operand level-6 sort on this
-    # tunnel's remote-compile service
+    from zlibes_tpu.codec import wide as wd
+    from zlibes_tpu.ops import wide_kernel as wk
     comp6, index6 = dp.deflate(data, with_index=True,
-                               config=CodecConfig.from_level(2))
+                               config=CodecConfig.from_level(6))
     assert pyzlib.decompress(comp6) == data
-    plans = ip.plan_groups(comp6, index6)
-    stream6 = ip._Stream(comp6)
-    K6 = 4
-    w32_stack = jnp.asarray(np.stack([np.asarray(stream6.w32)] * K6))
-    # production slices the token axis to the occupied prefix (run_group);
-    # pin the same Tc per group here so the benched work matches
-    tc_list = []
-    for p in plans:
-        _tv, _td, cnt, _pos, _st, _er = ip.decode_tokens(
-            stream6.w32, stream6.bytes, p.ll_tab, p.d_tab, p.rows, p.bit0,
-            p.endb, p.active, T=p.T, M=p.M, D=p.D)
-        tc_list.append(min(p.T, ip._bucket(int(np.asarray(cnt).max()) + 1,
-                                           lo=256)))
+    _log(f"level-6 deflate: {len(comp6)} bytes "
+         f"(ratio {len(comp6)/nbytes:.4f})")
+    wplan = wd.WidePlan.build(comp6, index6)
+    assert wplan.contiguous, "bench stream must be all-coded"
+    K6 = 8
+    stack6 = jnp.asarray(np.stack([np.asarray(wplan.words)] * K6))
 
     @jax.jit
-    def run_default(w32_stack, bytes_u8, *flat):
-        import jax as _jax
-
-        ps = [flat[i * 6 : (i + 1) * 6] for i in range(len(plans))]
-
-        def body(c, w32):
-            acc = c
-            for p, tc, (ll, dt_, rows, bit0, endb, act) in zip(
-                    plans, tc_list, ps):
-                tv, td, cnt, _pos, _still, _err = ip.decode_tokens(
-                    w32, bytes_u8, ll, dt_, rows, bit0, endb, act,
-                    T=p.T, M=p.M, D=p.D)
-                out, _rerr = ip.resolve_global(
-                    tv[:, :tc], td[:, :tc], cnt, p.out_base,
-                    jnp.int32(p.d_total), jnp.zeros(0, jnp.uint8), O=p.O)
-                acc = acc + out[0].astype(jnp.int32) + cnt[0]
-            return acc, None
-        c, _ = _jax.lax.scan(body, jnp.int32(0), w32_stack)
+    def run_wide(stack, starts_w, shift_idx, bit0, endb, base_g, lt, dt):
+        def body(c, words):
+            fetched = tk.extract_lanes(words, starts_w)
+            lanes = tk.shift_lanes(fetched, shift_idx, LB=wplan.LB,
+                                   SW=wplan.SW)
+            planes = tb._to_planes(lanes, LB=wplan.LB)
+            tg, mg = wk.decode_wide(planes, bit0, endb, lt, dt,
+                                    T=wplan.T, LB=wplan.LB)
+            toks, starts = wd._glue_wide(tg, mg[0], base_g, T=wplan.T,
+                                         Cb=wplan.Cb, LPB=wplan.LPB,
+                                         LB=wplan.LB)
+            rows = wk.resolve_wide(toks, starts, NSUBB=wplan.LPB)
+            flat = rows.reshape(-1)[: wplan.total_out]
+            adler = adler32_device(flat, wplan.total_out)
+            return c + adler.astype(jnp.int32) + mg[2].sum(), None
+        c, _ = jax.lax.scan(body, jnp.int32(0), stack)
         return c
 
-    flat_args = []
-    for p in plans:
-        flat_args += [p.ll_tab, p.d_tab, p.rows, p.bit0, p.endb, p.active]
-    args6 = (w32_stack, stream6.bytes, *flat_args)
+    args6 = (stack6, wplan.starts_w, wplan.shift_idx, wplan.bit0,
+             wplan.endb, wplan.base_g, wplan.lt, wplan.dt)
     t0 = time.perf_counter()
-    _sync(run_default(*args6))
-    _log(f"default-inflate compile+first: {time.perf_counter()-t0:.0f}s "
-         f"({len(plans)} groups)")
+    _sync(run_wide(*args6))
+    _log(f"wide-inflate compile+first: {time.perf_counter()-t0:.0f}s "
+         f"(SW={wplan.SW}, {wplan.Cb} block rows)")
+    # correctness gate: the routed public path on the exact benched stream
     out6 = ip.inflate(comp6, index=index6)
-    assert out6 == data, "default indexed decode mismatch"
+    assert out6 == data, "default wide decode mismatch"
     times = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
-        _sync(run_default(*args6))
+        _sync(run_wide(*args6))
         times.append(time.perf_counter() - t0)
-    t_def6 = (float(np.median(times)) - rpc) / K6
-    xla6_gbps = nbytes / t_def6 / 1e9
-    _log(f"indexed-XLA inflate: {t_def6*1e3:.3f} ms/exec -> "
-         f"{xla6_gbps:.3f} GB/s")
-    # the PUBLIC routed path for non-turbo indexed streams (native scan +
-    # device resolve when that is faster than the XLA indexed decoder)
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out6b = ip.inflate(comp6, index=index6, verify_checksum=False)
-        ts.append(time.perf_counter() - t0)
-    assert out6b == data
-    inf6_gbps = nbytes / float(np.median(ts)) / 1e9
-    _log(f"default-profile inflate (routed): {inf6_gbps:.3f} GB/s wall")
+    t_def6 = (float(np.min(times)) - rpc) / K6
+    inf6_gbps = nbytes / t_def6 / 1e9
+    _log(f"default-profile (wide Pallas) inflate: {t_def6*1e3:.3f} ms/exec "
+         f"-> {inf6_gbps:.3f} GB/s "
+         f"(median {nbytes/((np.median(times)-rpc)/K6)/1e9:.3f})")
 
     # ---- foreign-stream first decode (no index): speculative-parallel
     # C++ structure scan + device LZ resolve (VERDICT r3 #4)
@@ -357,7 +337,7 @@ def main() -> None:
         "deflate_vs_zlib1_single_core": round(def_dev_gbps / base_def1_gbps, 2),
         "compressed_ratio": round(ratio, 4),
         "default_inflate_gbps": round(inf6_gbps, 4),
-        "indexed_xla_inflate_gbps": round(xla6_gbps, 4),
+        "default_level6_ratio": round(len(comp6) / nbytes, 4),
         "foreign_scan_serial_gbps": round(fser_gbps, 4),
         "foreign_scan_speculative_gbps": round(fscan_gbps, 4),
         "foreign_e2e_gbps": round(fe2e_gbps, 4),

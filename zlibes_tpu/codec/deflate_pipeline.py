@@ -38,6 +38,7 @@ from ..ops.adler32 import adler32_device
 from ..ops.deflate_kernel import (gather_compressed, pack_payload,
                                   pack_payload_turbo, token_symbols)
 from ..ops.lz77 import SEG, find_matches, select_tokens
+from ..ops.wide_kernel import SUB as WIDE_SUB
 from ..spec import constants as C
 from ..spec.refmodel import BitWriter, BlockInfo, StreamIndex, _rle_code_lengths
 from ..config import DEFAULT_CONFIG, CodecConfig, CodecStats, trace
@@ -421,6 +422,13 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
                 ll_blocks[k, i], d_blocks[k, i], ll_len, d_len)
         used = (pe_h + eob_len + 31) // 32 + 1
         blk_off = np.concatenate([[0], np.cumsum(used)]).astype(np.int64)
+        if int(blk_off[-1]) > dense_cap:
+            # a silent clamp here would shorten the span_dense slices below
+            # and emit a corrupt stream (ADVICE r4) — fail loudly instead,
+            # mirroring the filler-budget RuntimeError above
+            raise RuntimeError(
+                f"packed word spans ({int(blk_off[-1])}) exceed the dense "
+                f"pack capacity ({dense_cap})")
         total_pad = min(dense_cap, -(-int(blk_off[-1]) // 2048) * 2048)
         layout.append((pe_h, blk_off, total_pad, hdr_bits_arr))
 
@@ -678,17 +686,28 @@ def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN,
                 enabled[i] = True
             plans.append(plan)
 
-        # --- device: payload packing
+        # --- device: payload packing (+ the per-128-B sub-anchor splits
+        # that drive the wide-profile Pallas decoder)
         W = (15 * N + 4096) // 32
-        words, payload_end, lane_bit0 = pack_payload(
+        words, payload_end, lane_bit0, sub_bit, sub_out = pack_payload(
             tv, td, lsym, dsym, valid,
             jnp.asarray(ll_code_arr), jnp.asarray(ll_len_arr),
             jnp.asarray(d_code_arr), jnp.asarray(d_len_arr),
             jnp.asarray(hdr_bits_arr), jnp.asarray(enabled),
-            nseg=nseg, W=W,
+            nseg=nseg, W=W, sub_every=WIDE_SUB,
         )
-        payload_end_np = np.asarray(payload_end)
-        lane_bit0_np = np.asarray(lane_bit0)
+        # one fused readback for all packing metadata
+        meta_np = np.asarray(jnp.concatenate(
+            [payload_end, lane_bit0, sub_bit.reshape(-1),
+             sub_out.reshape(-1)]))
+        L_ = Bp * nseg
+        nsub_lane = SEG_SIZE // WIDE_SUB
+        payload_end_np = meta_np[:Bp]
+        lane_bit0_np = meta_np[Bp : Bp + L_]
+        sub_bit_np = meta_np[Bp + L_ : Bp + L_ + L_ * nsub_lane].reshape(
+            L_, nsub_lane)
+        sub_out_np = meta_np[Bp + L_ + L_ * nsub_lane :].reshape(
+            L_, nsub_lane)
 
         # compacted download of used words only
         used_words = np.zeros(B, np.int64)
@@ -749,11 +768,27 @@ def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN,
                 plan.btype, bool(plan.bfinal), start_bit,
                 start_bit + plan.hdr_bits, start_bit + end_bits,
                 out_start, nb))
-            # anchors for this block's segment lanes
-            for s in range(-(-nb // SEG_SIZE)):
-                anchor_bit.append(start_bit + int(lane_bit0_np[i * nseg + s]))
-                anchor_out.append(out_start + s * SEG_SIZE)
-                anchor_block.append(len(blocks) - 1)
+            # uniform 128-B anchors for this block (wide-profile decode
+            # lanes).  A boundary with no token starting at-or-after it in
+            # its own selection lane back-fills from the NEXT boundary:
+            # the valid (bit, out) pairs are nondecreasing in boundary
+            # order, so a suffix-min over the flattened per-block arrays
+            # (end-of-block appended) is exactly that back-fill — repeated
+            # anchors mark empty decode lanes.
+            na_b = -(-nb // WIDE_SUB)
+            lanes_i = slice(i * nseg, (i + 1) * nseg)
+            flat_bit = np.concatenate(
+                [sub_bit_np[lanes_i].reshape(-1)[:na_b],
+                 [end_bits]]).astype(np.int64)
+            flat_out = np.concatenate(
+                [(np.arange(nseg, dtype=np.int64)[:, None] * SEG_SIZE
+                  + sub_out_np[lanes_i]).reshape(-1)[:na_b],
+                 [nb]])
+            fb = np.minimum.accumulate(flat_bit[::-1])[::-1][:-1]
+            fo = np.minimum.accumulate(flat_out[::-1])[::-1][:-1]
+            anchor_bit.extend(start_bit + fb)
+            anchor_out.extend(out_start + fo)
+            anchor_block.extend([len(blocks) - 1] * na_b)
             if plan.bfinal:
                 nbytes = (end_bits + 7) // 8
                 out_parts.append(buf[:nbytes].tobytes())
@@ -779,6 +814,10 @@ def deflate_raw_tpu(data: bytes, block_size: int = C.BLOCK_MAX_BUFFER_LEN,
         np.asarray(anchor_out, np.int64),
         np.asarray(anchor_block, np.int32),
         chunk_reset=cfg.chunk_reset,
+        # dictionary streams' first block references the preset dictionary,
+        # which the wide resolve kernel does not halo — they keep the
+        # scan/indexed decode paths
+        wide=dict_np is None,
     )
     return body, index
 

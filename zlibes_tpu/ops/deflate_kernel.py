@@ -76,7 +76,7 @@ def token_symbols(
     return lsym, dsym, valid, ll_freq, d_freq
 
 
-@partial(jax.jit, static_argnames=("nseg", "W"))
+@partial(jax.jit, static_argnames=("nseg", "W", "sub_every"))
 def pack_payload(
     toks_val: jax.Array,    # int32 (L, T)
     toks_dist: jax.Array,   # int32 (L, T)
@@ -91,6 +91,7 @@ def pack_payload(
     enabled: jax.Array,     # bool (B,) pack this block (not stored)
     nseg: int,
     W: int,                 # u32 words per block buffer
+    sub_every: int = 0,     # >0: also return per-lane sub-anchor splits
 ):
     """Scatter all token bit-fields into per-block word buffers.
 
@@ -98,6 +99,15 @@ def pack_payload(
     payload_end_bits = bit offset just after the last token (EOB not
     included — the host appends it); lane_bit0 = bit offset of each segment
     lane's first token (the decode anchors).
+
+    ``sub_every`` > 0 appends (sub_bit (L, T//sub_every), sub_out (L,
+    T//sub_every)): for every ``sub_every``-byte output boundary j within
+    the lane, the bit offset (relative to the block start) and within-lane
+    output offset of the FIRST token starting at-or-after byte
+    j*sub_every, or 2^30 sentinels when no such token exists in this lane
+    (the host back-fills from the next boundary).  These are the uniform
+    128-B anchors of the wide-profile device decoder
+    (ops/wide_kernel.py).
     """
     from .symbol_math import dist_extra, len_extra, onehot_rows
 
@@ -193,7 +203,25 @@ def pack_payload(
     words = words.at[jnp.where(use & (w2v > 0), w + 2, OOB).reshape(-1)].add(
         w2v.reshape(-1), mode="drop")
 
-    return words.reshape(B, W), payload_end, lane_bit0
+    if not sub_every:
+        return words.reshape(B, W), payload_end, lane_bit0
+
+    # wide-profile sub-anchors: first token at-or-after every sub_every-
+    # byte output boundary of the lane (wout is nondecreasing along T, so
+    # a masked min per boundary is exact)
+    adv = jnp.where(valid, jnp.where(toks_dist > 0, vs, 1), 0)
+    wout = jnp.cumsum(adv, axis=1) - adv
+    BIGS = jnp.int32(1 << 30)
+    sub_bits = []
+    sub_outs = []
+    within_abs = lane_bit0[:, None] + within
+    for j in range(T // sub_every):
+        m = valid & (wout >= j * sub_every)
+        sub_bits.append(jnp.min(jnp.where(m, within_abs, BIGS), axis=1))
+        sub_outs.append(jnp.min(jnp.where(m, wout, BIGS), axis=1))
+    sub_bit = jnp.stack(sub_bits, axis=1)
+    sub_out = jnp.stack(sub_outs, axis=1)
+    return words.reshape(B, W), payload_end, lane_bit0, sub_bit, sub_out
 
 
 def _seg_or_scan(c0: jax.Array, first: jax.Array) -> jax.Array:

@@ -115,8 +115,22 @@ def find_matches(
     nrow = N // reset if (reset and N % reset == 0) else 1
     if nrow > 1:
         ops = tuple(o.reshape(B * nrow, reset) for o in ops)
-    sorted_ops = jax.lax.sort(ops, dimension=1, is_stable=True, num_keys=1)
-    skey, sposp = sorted_ops[0], sorted_ops[1]
+    # chunked multi-operand sort: each lax.sort carries <= 16 payload
+    # operands.  The 34-operand S=32 sort jammed this environment's
+    # remote-compile service outright (>50 min, BASELINE.md); stable
+    # sorts keyed by the IDENTICAL key array produce the identical
+    # permutation, so later probe chunks splice in exactly (VERDICT r4
+    # #5: every level must compile cold in minutes).
+    MAXP = 16
+    head = jax.lax.sort(ops[: 2 + MAXP], dimension=1, is_stable=True,
+                        num_keys=1)
+    skey, sposp = head[0], head[1]
+    sorted_probes = list(head[2:])
+    for g0 in range(2 + MAXP, len(ops), MAXP):
+        chunk = jax.lax.sort((ops[0],) + ops[g0 : g0 + MAXP], dimension=1,
+                             is_stable=True, num_keys=1)
+        sorted_probes += list(chunk[1:])
+    sorted_ops = (skey, sposp, *sorted_probes)
     spos = sposp & ((1 << POSH) - 1)
     # probe word 0 reconstructed from (key, packed byte 3); sentinel-key
     # rows reconstruct garbage, but every use is masked by key equality

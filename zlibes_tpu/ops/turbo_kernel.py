@@ -485,6 +485,9 @@ def decode_turbo(planes: jax.Array,  # (SW, 8, L//8) int32 word-planes
     meta planes: 0 token count, 1 end bit position, 2 error flag,
     3 still-active-after-T flag (also an error).
     """
+    # the paired loop writes token rows 2t and 2t+1 for t < (T+1)//2, so an
+    # odd T would write row T out of bounds (ADVICE r4)
+    assert T % 2 == 0, "decode_turbo requires an even token capacity T"
     SW, _, G = planes.shape
     L = G * 8
     assert L % LB == 0

@@ -420,6 +420,105 @@ def parallel_inflate_turbo(data: bytes, index, mesh: Mesh,
     return flat.tobytes()
 
 
+def sharded_wide_inflate_step(
+    words: jax.Array,      # (NB, 128) int32 replicated aligned stream blocks
+    starts_w: jax.Array,   # (L_pad,) int32 per-lane first block idx, sharded
+    shift_idx: jax.Array,  # (L_pad, 128) int32 residue+iota, sharded
+    bit0: jax.Array,       # (8, L_pad//8) int32 lane-grid, cols sharded
+    endb: jax.Array,       # (8, L_pad//8) int32 lane-grid, cols sharded
+    base_g: jax.Array,     # (8, L_pad//8) int32 first-token sub-span offsets
+    lt: jax.Array,         # (n_steps, 8, LL_W) per-step tables, sharded
+    dt: jax.Array,         # (n_steps, 8, D_W) per-step tables, sharded
+    mesh: Mesh, T: int, LB: int, LPB: int, SW: int,
+):
+    """Mesh-sharded DEFAULT-profile inflate: every device runs the full
+    wide Pallas pipeline (DMA lane extraction → shift → two-level-table
+    lock-step decode → glue → block-row 32 KiB-reach LZ resolve) on its
+    contiguous span of whole block rows.  Blocks are self-contained, so
+    the only cross-device traffic is the input broadcast — compute scales
+    linearly with devices.  This is the mesh path for per-block 15-bit
+    tables (VERDICT r4: block-parallel inflate was turbo-only).
+
+    Requires L_pad % (D * max(LB, LPB)) == 0 and 8 resolve rows per
+    device (WidePlan.build(row_align=8*D) guarantees both).
+    Returns (rows (Cb, LPB*128) uint8 sharded over block rows,
+    meta (4, L_pad) int32 lane metadata, sharded cols).
+    """
+    from ..codec.wide import _glue_wide
+    from ..codec.turbo import _from_grid, _to_planes
+    from ..ops import turbo_kernel as tk
+    from ..ops import wide_kernel as wk
+
+    L_pad = starts_w.shape[0]
+    D = mesh.devices.size
+    L_loc = L_pad // D
+    assert L_loc % LB == 0 and L_loc % LPB == 0
+    Cb_loc = L_loc // LPB
+
+    def body(starts_w, shift_idx, bit0, endb, base_g, lt, dt):
+        fetched = tk.extract_lanes(words, starts_w)
+        lanes = tk.shift_lanes(fetched, shift_idx, LB=LB, SW=SW)
+        planes = _to_planes(lanes, LB=LB)
+        tg, mg = wk.decode_wide(planes, bit0, endb, lt, dt, T=T, LB=LB)
+        meta = _from_grid(mg, LB=LB)
+        toks, starts = _glue_wide(tg, mg[0], base_g, T=T, Cb=Cb_loc,
+                                  LPB=LPB, LB=LB)
+        rows = wk.resolve_wide(toks, starts, NSUBB=LPB)
+        return rows, meta
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P("blocks"), P("blocks"), P(None, "blocks"),
+                  P(None, "blocks"), P(None, "blocks"), P("blocks"),
+                  P("blocks")),
+        out_specs=(P("blocks"), P(None, "blocks")),
+        check_vma=False,
+    )(starts_w, shift_idx, bit0, endb, base_g, lt, dt)
+
+
+def parallel_inflate_wide(data: bytes, index, mesh: Mesh,
+                          check: bool = True) -> bytes:
+    """Mesh-sharded wide inflate (whole block rows split across devices)."""
+    from ..codec.wide import WidePlan
+
+    D = mesh.devices.size
+    with _phase("host_stage"):
+        plan = WidePlan.build(bytes(data), index, row_align=8 * D)
+        if not plan.coded:
+            raise ValueError("all-stored stream has no device work")
+        sh = NamedSharding(mesh, P("blocks"))
+        sh_col = NamedSharding(mesh, P(None, "blocks"))
+        args = (
+            plan.words,
+            _put(np.asarray(plan.starts_w), sh),
+            _put(np.asarray(plan.shift_idx), sh),
+            _put(np.asarray(plan.bit0), sh_col),
+            _put(np.asarray(plan.endb), sh_col),
+            _put(np.asarray(plan.base_g), sh_col),
+            _put(np.asarray(plan.lt), sh),
+            _put(np.asarray(plan.dt), sh),
+        )
+    with _phase("dispatch"):
+        rows, meta = sharded_wide_inflate_step(
+            *args, mesh=mesh, T=plan.T, LB=plan.LB, LPB=plan.LPB,
+            SW=plan.SW,
+        )
+    with _phase("readback"):
+        if check:
+            plan.check_meta(_to_host(meta))
+        rows_np = _to_host(rows)
+    if plan.contiguous:
+        return rows_np.reshape(-1)[: plan.total_out].tobytes()
+    out = np.empty(plan.total_out, np.uint8)
+    for i, b in enumerate(plan.coded):
+        out[b.out_start : b.out_start + b.out_len] = rows_np[i, : b.out_len]
+    for b in plan.stored:
+        pos = (b.payload_start_bit >> 3) + 4
+        out[b.out_start : b.out_start + b.out_len] = np.frombuffer(
+            data, np.uint8, count=b.out_len, offset=pos)
+    return out.tobytes()
+
+
 def _put(arr: np.ndarray, sharding) -> jax.Array:
     """Create a (possibly multi-process) global array from host data.
 
@@ -653,10 +752,17 @@ def parallel_inflate(data: bytes, index, mesh: Mesh) -> bytes:
     """Block-parallel inflate of an indexed stream across the mesh.
 
     Turbo-profile streams (shared 9-bit tables, 512 B anchors, 4 KiB
-    resets) dispatch to the sharded Pallas lock-step pipeline; other
-    indexed streams use the general XLA decode/resolve kernels."""
+    resets) and wide-profile streams (per-block 15-bit tables, 128 B
+    anchors — this encoder's default levels) dispatch to their sharded
+    Pallas lock-step pipelines; other indexed streams use the general XLA
+    decode/resolve kernels."""
     if getattr(index, "turbo", False):
         return parallel_inflate_turbo(data, index, mesh)
+    if (getattr(index, "wide", False)
+            and getattr(index, "self_contained", True)
+            and any(b.btype != C.BTYPE_STORED and b.out_len
+                    for b in index.blocks)):
+        return parallel_inflate_wide(data, index, mesh)
     from ..codec.inflate_pipeline import (
         _Stream, _block_code_lengths, _bucket, _index_lanes,
     )

@@ -102,11 +102,17 @@ def scan(data: bytes, bit_offset: int = 0, anchor_every: int = 4096,
     if span_bytes <= 0:
         # ~2 spans per thread balances the pool (the main thread scans
         # span 0 then drains) while keeping the per-span candidate-search
-        # overhead amortized; 256 KiB floor
+        # overhead amortized; 256 KiB floor.  The 8 MiB cap bounds the
+        # speculative buffers (~24 B per compressed byte per in-flight
+        # span; zscan_parallel additionally processes spans in waves and
+        # frees each span's buffers at merge — ADVICE r4), so peak
+        # speculation memory is O(threads * 8 MiB * 24) however large the
+        # stream.
         import os as _os
 
         nt = threads if threads > 0 else (_os.cpu_count() or 1)
-        span_bytes = max(1 << 18, len(data) // max(1, 2 * nt))
+        span_bytes = min(8 << 20,
+                         max(1 << 18, len(data) // max(1, 2 * nt)))
     raw = np.frombuffer(bytes(data), dtype=np.uint8)
     # zscan's bit reader does unaligned 64-bit loads: pad 8 readable
     # bytes past the logical end (nbytes stays the logical size)

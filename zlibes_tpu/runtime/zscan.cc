@@ -354,7 +354,16 @@ bool plausible_header(const uint8_t* data, size_t nbits, size_t bit) {
     if ((byte + 4) * 8 > nbits) return false;
     uint32_t len = data[byte] | ((uint32_t)data[byte + 1] << 8);
     uint32_t nlen = data[byte + 2] | ((uint32_t)data[byte + 3] << 8);
-    return len == (~nlen & 0xFFFF) && len > 0;
+    if (len != (~nlen & 0xFFFF)) return false;
+    if (len > 0) return true;
+    // zero-length stored blocks are real: they are this encoder's own
+    // byte-align sync blocks and zlib's Z_SYNC_FLUSH/Z_FULL_FLUSH markers,
+    // and span boundaries land on them on exactly the flush-marked streams
+    // the parallel scan targets (ADVICE r4).  Their 32 header bits carry
+    // no signal, so chain the check: require a plausible FOLLOWING header
+    // to keep the false-positive rate down.
+    size_t next_bit = (byte + 4) * 8;
+    return next_bit < nbits && plausible_header(data, nbits, next_bit);
   }
   if (btype != 2) return false;
   uint32_t hlit = (uint32_t)(w >> 3) & 31;
@@ -618,83 +627,104 @@ int zscan_parallel(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
                  crossing_out);
   }
 
-  std::vector<SpecResult> res((size_t)nspans);  // [0] unused
-  // bounded thread pool over spans 1..nspans-1
-  std::vector<std::thread> pool;
-  std::atomic<int64_t> next_span{1};
-  auto drain = [&]() {
-    for (;;) {
-      int64_t k = next_span.fetch_add(1);
-      if (k >= nspans) break;
-      size_t sbit = (size_t)(start_byte + k * span_bytes) * 8;
-      size_t ebit = (size_t)(start_byte + (k + 1) * span_bytes) * 8;
-      if (ebit > nbits) ebit = nbits;
-      spec_worker(data, nbits, sbit, ebit, anchor_every, span_bytes,
-                  &res[(size_t)k]);
-    }
-  };
+  // Spans speculate in WAVES of a few per worker, and every span's
+  // buffers are released as soon as it is spliced or rescanned: the
+  // speculative arrays cost ~24 bytes per compressed byte, so scanning
+  // every span of a multi-GB stream at once would transiently allocate
+  // tens of GB (ADVICE r4).  Peak memory is now O(wave * span_bytes).
   int64_t nworkers = nthreads - 1 < nspans - 1 ? nthreads - 1 : nspans - 1;
-  for (int64_t t = 0; t < nworkers; t++) pool.emplace_back(drain);
+  int64_t wave = nworkers * 2 < 2 ? 2 : nworkers * 2;
 
-  // authoritative chain: span 0 scans inline on this thread
   ScanCtx C{toks_val, toks_dist, max_toks, blocks, max_blocks,
             anchor_bit, anchor_out, anchor_block, max_anchors, anchor_every};
   BitReader br{data, nbits, (size_t)bit_offset, false};
   size_t stop0 = (size_t)(start_byte + span_bytes) * 8;
-  int rc = scan_core(br, C, stop0, false, dict_len);
-  drain();  // the main thread joins the speculation pool once span 0 is in
-  for (auto& t : pool) t.join();
-  if (rc < 0) return rc;
+  int rc = Z_STOP_;
   int64_t spliced = 0;
+  bool first = true;
 
-  for (int64_t k = 1; k < nspans && rc != Z_DONE_; k++) {
-    size_t ebit = (size_t)(start_byte + (k + 1) * span_bytes) * 8;
-    if (ebit > nbits) ebit = nbits;
-    if (br.pos >= ebit) continue;  // chain already past this span
-    SpecResult& R = res[(size_t)k];
-    if (R.found && R.cand_bit == br.pos) {
-      // splice: re-validate the head (speculative dist checks were
-      // relaxed — only the first 32 KiB of span output can reach back)
-      if (C.ntok + R.ntok > max_toks) return ZE_TOK_CAP;
-      if (C.nblk + R.nblk > max_blocks) return ZE_BLK_CAP;
-      if (C.nanch + R.nanch > max_anchors) return ZE_ANCH_CAP;
-      int64_t rel_out = 0;
-      for (int64_t t = 0; t < R.ntok; t++) {
-        int32_t d = R.td[(size_t)t];
-        if (d) {
-          if (rel_out >= 32768) break;
-          if ((int64_t)d > C.out + rel_out + dict_len) return ZE_CORRUPT;
-          rel_out += R.tv[(size_t)t];
-        } else {
-          rel_out++;
-        }
+  for (int64_t w0 = 1; w0 < nspans && rc != Z_DONE_; ) {
+    int64_t w1 = w0 + wave < nspans ? w0 + wave : nspans;
+    std::vector<SpecResult> res((size_t)(w1 - w0));
+    std::vector<std::thread> pool;
+    std::atomic<int64_t> next_span{w0};
+    auto drain = [&]() {
+      for (;;) {
+        int64_t k = next_span.fetch_add(1);
+        if (k >= w1) break;
+        size_t sbit = (size_t)(start_byte + k * span_bytes) * 8;
+        size_t ebit = (size_t)(start_byte + (k + 1) * span_bytes) * 8;
+        if (ebit > nbits) ebit = nbits;
+        spec_worker(data, nbits, sbit, ebit, anchor_every, span_bytes,
+                    &res[(size_t)(k - w0)]);
       }
-      memcpy(toks_val + C.ntok, R.tv.get(), (size_t)R.ntok * 4);
-      memcpy(toks_dist + C.ntok, R.td.get(), (size_t)R.ntok * 4);
-      for (int64_t b = 0; b < R.nblk; b++) {
-        BlockRec rec = R.blk[(size_t)b];
-        rec.out_start += C.out;
-        rec.tok_start += C.ntok;
-        blocks[C.nblk + b] = rec;
-      }
-      for (int64_t a = 0; a < R.nanch; a++) {
-        anchor_bit[C.nanch + a] = R.abit[(size_t)a];
-        anchor_out[C.nanch + a] = R.aout[(size_t)a] + C.out;
-        anchor_block[C.nanch + a] = R.ablk[(size_t)a] + (int32_t)C.nblk;
-      }
-      C.ntok += R.ntok;
-      C.nblk += R.nblk;
-      C.nanch += R.nanch;
-      C.out += R.out;
-      C.crossing |= R.crossing;
-      br.pos = R.end_bit;
-      rc = R.final_seen ? Z_DONE_ : Z_STOP_;
-      spliced++;
-    } else {
-      // mis-speculation (or no candidate): serial rescan of this span
-      rc = scan_core(br, C, ebit, false, dict_len);
+    };
+    int64_t nw = nworkers < (w1 - w0) ? nworkers : (w1 - w0);
+    for (int64_t t = 0; t < nw; t++) pool.emplace_back(drain);
+    if (first) {
+      // authoritative chain: span 0 scans inline, overlapping the first
+      // wave's speculation
+      rc = scan_core(br, C, stop0, false, dict_len);
+    }
+    drain();  // the main thread joins the pool once span 0 is in
+    for (auto& t : pool) t.join();
+    if (first) {
+      first = false;
       if (rc < 0) return rc;
     }
+
+    for (int64_t k = w0; k < w1 && rc != Z_DONE_; k++) {
+      size_t ebit = (size_t)(start_byte + (k + 1) * span_bytes) * 8;
+      if (ebit > nbits) ebit = nbits;
+      SpecResult& R = res[(size_t)(k - w0)];
+      if (br.pos >= ebit) {
+        // chain already past this span
+      } else if (R.found && R.cand_bit == br.pos) {
+        // splice: re-validate the head (speculative dist checks were
+        // relaxed — only the first 32 KiB of span output can reach back)
+        if (C.ntok + R.ntok > max_toks) return ZE_TOK_CAP;
+        if (C.nblk + R.nblk > max_blocks) return ZE_BLK_CAP;
+        if (C.nanch + R.nanch > max_anchors) return ZE_ANCH_CAP;
+        int64_t rel_out = 0;
+        for (int64_t t = 0; t < R.ntok; t++) {
+          int32_t d = R.td[(size_t)t];
+          if (d) {
+            if (rel_out >= 32768) break;
+            if ((int64_t)d > C.out + rel_out + dict_len) return ZE_CORRUPT;
+            rel_out += R.tv[(size_t)t];
+          } else {
+            rel_out++;
+          }
+        }
+        memcpy(toks_val + C.ntok, R.tv.get(), (size_t)R.ntok * 4);
+        memcpy(toks_dist + C.ntok, R.td.get(), (size_t)R.ntok * 4);
+        for (int64_t b = 0; b < R.nblk; b++) {
+          BlockRec rec = R.blk[(size_t)b];
+          rec.out_start += C.out;
+          rec.tok_start += C.ntok;
+          blocks[C.nblk + b] = rec;
+        }
+        for (int64_t a = 0; a < R.nanch; a++) {
+          anchor_bit[C.nanch + a] = R.abit[(size_t)a];
+          anchor_out[C.nanch + a] = R.aout[(size_t)a] + C.out;
+          anchor_block[C.nanch + a] = R.ablk[(size_t)a] + (int32_t)C.nblk;
+        }
+        C.ntok += R.ntok;
+        C.nblk += R.nblk;
+        C.nanch += R.nanch;
+        C.out += R.out;
+        C.crossing |= R.crossing;
+        br.pos = R.end_bit;
+        rc = R.final_seen ? Z_DONE_ : Z_STOP_;
+        spliced++;
+      } else {
+        // mis-speculation (or no candidate): serial rescan of this span
+        rc = scan_core(br, C, ebit, false, dict_len);
+        if (rc < 0) return rc;
+      }
+      R = SpecResult();  // release this span's speculative buffers now
+    }
+    w0 = w1;
   }
   if (rc != Z_DONE_) {
     rc = scan_core(br, C, (size_t)-1, false, dict_len);

@@ -338,6 +338,11 @@ class StreamIndex:
     # window reset every 4 KiB — decodable by the Pallas lock-step kernels
     max_tokens: int = 0  # max tokens in any anchor span (encoder-recorded;
     # sizes the decode kernel's token buffer / iteration bound)
+    wide: bool = False  # DEFAULT-profile device-decode anchors: one anchor
+    # per 128 B of output inside every coded block (uniform; an anchor
+    # repeats when no token starts in its 128-B sub-span).  Fuel for the
+    # two-level-table Pallas decoder (ops/wide_kernel.py) — the wire
+    # format is untouched, anchors are pure sidecar metadata
 
     @property
     def total_out(self) -> int:
@@ -356,13 +361,16 @@ class StreamIndex:
         ]
         return StreamIndex(blocks, self.anchor_bit + bits, self.anchor_out,
                            self.anchor_block, self.self_contained,
-                           self.chunk_reset, self.turbo, self.max_tokens)
+                           self.chunk_reset, self.turbo, self.max_tokens,
+                           self.wide)
 
     # sidecar format version.  v2 (round 3): turbo anchors come in PAIRS
-    # per 512 B segment (segment start + mid-segment split) — v1 sidecars
-    # (single anchor per 512 B) cannot drive the paired decode lanes and
-    # are rejected at load with an explicit versioning error.
-    FORMAT_VERSION = 2
+    # per 512 B segment (segment start + mid-segment split).  v3 (round
+    # 5): default-profile indexes carry uniform 128-B "wide" anchors for
+    # the two-level-table Pallas decoder.  Older sidecars cannot drive
+    # the current decode lanes and are rejected at load with an explicit
+    # versioning error.
+    FORMAT_VERSION = 3
 
     def save(self, path) -> None:
         """Persist the sidecar index (reload with StreamIndex.load)."""
@@ -377,6 +385,7 @@ class StreamIndex:
                  chunk_reset=np.array([self.chunk_reset]),
                  turbo=np.array([self.turbo]),
                  max_tokens=np.array([self.max_tokens]),
+                 wide=np.array([self.wide]),
                  version=np.array([StreamIndex.FORMAT_VERSION]))
 
     @staticmethod
@@ -386,9 +395,9 @@ class StreamIndex:
         if version != StreamIndex.FORMAT_VERSION:
             raise ValueError(
                 f"index sidecar is format v{version}; this build reads "
-                f"v{StreamIndex.FORMAT_VERSION} (v2 pairs every turbo "
-                f"anchor with a mid-segment split) — regenerate the index "
-                f"with deflate_indexed() or ZScanner")
+                f"v{StreamIndex.FORMAT_VERSION} (v3 adds uniform 128-B "
+                f"wide anchors) — regenerate the index with "
+                f"deflate_indexed() or ZScanner")
         blocks = [
             BlockInfo(int(r[0]), bool(r[1]), int(r[2]), int(r[3]), int(r[4]),
                       int(r[5]), int(r[6]))
@@ -398,7 +407,8 @@ class StreamIndex:
                            z["anchor_block"], bool(z["self_contained"][0]),
                            int(z["chunk_reset"][0]) if "chunk_reset" in z else 0,
                            bool(z["turbo"][0]) if "turbo" in z else False,
-                           int(z["max_tokens"][0]) if "max_tokens" in z else 0)
+                           int(z["max_tokens"][0]) if "max_tokens" in z else 0,
+                           bool(z["wide"][0]) if "wide" in z else False)
 
 
 def inflate_raw(data: bytes, byte_offset: int = 0,
