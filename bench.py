@@ -165,15 +165,14 @@ def main() -> None:
     @jax.jit
     def run_wide(stack, starts_w, shift_idx, bit0, endb, base_g, lt, dt):
         def body(c, words):
-            fetched = tk.extract_lanes(words, starts_w)
-            lanes = tk.shift_lanes(fetched, shift_idx, LB=wplan.LB,
-                                   SW=wplan.SW)
+            lanes = wd.wide_lanes(words, starts_w, shift_idx, GF=wplan.GF,
+                                  SW=wplan.SW)
             planes = tb._to_planes(lanes, LB=wplan.LB)
-            tg, mg = wk.decode_wide(planes, bit0, endb, lt, dt,
-                                    T=wplan.T, LB=wplan.LB)
-            toks, starts = wd._glue_wide(tg, mg[0], base_g, T=wplan.T,
-                                         Cb=wplan.Cb, LPB=wplan.LPB,
-                                         LB=wplan.LB)
+            tg, sg, mg = wk.decode_wide(planes, bit0, endb, base_g, lt, dt,
+                                        T=wplan.T, LB=wplan.LB)
+            toks, starts = wd._glue_wide(tg, sg, mg[0], mg[4], mg[5],
+                                         T=wplan.T, Cb=wplan.Cb,
+                                         LPB=wplan.LPB, LB=wplan.LB)
             rows = wk.resolve_wide(toks, starts, NSUBB=wplan.LPB)
             flat = rows.reshape(-1)[: wplan.total_out]
             adler = adler32_device(flat, wplan.total_out)

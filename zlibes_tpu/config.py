@@ -38,6 +38,12 @@ class CodecConfig:
     max_code_bits: int = 15  # length-limit for litlen/dist codes; the
     # turbo profile caps at 9 so the decode kernel's primary lookup is a
     # single 512-entry table (no secondary resolution step)
+    phase1_cache_blocks: int = 256  # shared-table encode: keep phase-1
+    # token arrays for up to this many blocks (~128 MB device memory at
+    # 128 KiB blocks); beyond it (inputs > 32 MiB) phase 2 RE-RUNS
+    # match+select per span instead — bit-exact (the device pipeline is
+    # deterministic; tested), costing one extra match+select pass over
+    # the input (the dominant device stages roughly double)
 
     def __post_init__(self):
         if self.chunk_reset:

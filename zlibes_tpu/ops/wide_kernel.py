@@ -215,7 +215,7 @@ def _bank_gather(tab, idx, lo_bank, nbanks):
 
 
 def _decode_wide_kernel(lt_ref, dt_ref, planes_ref, bit0_ref, endb_ref,
-                        tok_ref, meta_ref, *, T: int):
+                        base_ref, tok_ref, start_ref, meta_ref, *, T: int):
     """One ≤48-bit token per iteration, one paired 64-bit refill.
 
     Invariant: nbits >= 65 at each token start (init 128 - (bit0 & 31) >=
@@ -229,6 +229,7 @@ def _decode_wide_kernel(lt_ref, dt_ref, planes_ref, bit0_ref, endb_ref,
     dt = dt_ref[0]
     bit0 = bit0_ref[:]
     endb = endb_ref[:]
+    base0 = base_ref[:]
 
     s0 = (bit0 & 31).astype(jnp.uint32)
     w = [planes[i].astype(jnp.uint32) for i in range(4)]
@@ -239,11 +240,13 @@ def _decode_wide_kernel(lt_ref, dt_ref, planes_ref, bit0_ref, endb_ref,
     nbits0 = (jnp.int32(128) - (bit0 & 31)).astype(jnp.int32)
 
     def cond(state):
-        t, *_rest, active_i, _err, _cnt = state
+        t = state[0]
+        active_i = state[8]
         return (t < T) & (jnp.max(active_i) > 0)
 
     def body(state):
-        (t, bitpos, q, b0, b1, b2, b3, nbits, active_i, err_i, count) = state
+        (t, bitpos, q, b0, b1, b2, b3, nbits, active_i, err_i, count,
+         outpos, last_tok, last_start) = state
         active = active_i > 0
         err = err_i > 0
         # --- litlen symbol: 9-bit root, sub-table on long-code prefixes
@@ -308,6 +311,14 @@ def _decode_wide_kernel(lt_ref, dt_ref, planes_ref, bit0_ref, endb_ref,
         bitpos = jnp.where(active & ~bad, newpos, bitpos)
         active = active & ~bad & ~is_eob & (newpos < endb)
         tok_ref[pl.ds(t, 1)] = tok[None]
+        # per-token output start offsets (sub-span coordinates) and the
+        # lane's running last token — the glue stage used to re-derive
+        # these with full (T, 8, G) cumsums and reductions
+        start_ref[pl.ds(t, 1)] = jnp.where(emit, outpos, START_PAD)[None]
+        adv = jnp.where(is_len, val, 1)
+        last_tok = jnp.where(emit, tok, last_tok)
+        last_start = jnp.where(emit, outpos, last_start)
+        outpos = outpos + jnp.where(emit, adv, 0)
         nbits = nbits - k
         # --- paired refill: insert words (2q, 2q+1) at bit offset nbits
         need = nbits <= 64
@@ -332,33 +343,41 @@ def _decode_wide_kernel(lt_ref, dt_ref, planes_ref, bit0_ref, endb_ref,
         q = q + need.astype(jnp.int32)
         nbits = nbits + jnp.where(need, 64, 0)
         return (t + 1, bitpos, q, b0, b1, b2, b3, nbits,
-                active.astype(jnp.int32), err.astype(jnp.int32), count)
+                active.astype(jnp.int32), err.astype(jnp.int32), count,
+                outpos, last_tok, last_start)
 
     G = bit0.shape
     active0 = (bit0 < endb).astype(jnp.int32)
     zero = jnp.zeros(G, jnp.int32)
     state = (jnp.int32(0), bit0, jnp.full(G, 2, jnp.int32), b0, b1, b2, b3,
-             nbits0, active0, zero, zero)
-    (t, bitpos, _q, _b0, _b1, _b2, _b3, _nb, active_i, err_i, count
-     ) = jax.lax.while_loop(cond, body, state)
+             nbits0, active0, zero, zero, base0, zero, zero)
+    (t, bitpos, _q, _b0, _b1, _b2, _b3, _nb, active_i, err_i, count,
+     _outpos, last_tok, last_start) = jax.lax.while_loop(cond, body, state)
     meta_ref[0] = count
     meta_ref[1] = bitpos
     meta_ref[2] = err_i
     meta_ref[3] = active_i
+    meta_ref[4] = last_tok
+    meta_ref[5] = last_start
 
 
 @partial(jax.jit, static_argnames=("T", "LB"))
 def decode_wide(planes: jax.Array,   # (SW, 8, L//8) int32 word-planes
                 bit0: jax.Array,     # (8, L//8) int32 lane-grid bit offsets
                 endb: jax.Array,     # (8, L//8) int32 lane-grid end bits
+                base_g: jax.Array,   # (8, L//8) int32 first-token start
+                                     # offsets within the 128-B sub-span
                 lt: jax.Array,       # (n_steps, 8, LL_W) per-step tables
                 dt: jax.Array,       # (n_steps, 8, D_W)
                 T: int = MAX_TOKENS,
                 LB: int = LANE_BLOCK):
     """Lock-step decode with per-grid-step (= per-block-group) tables.
 
-    Same lane-grid layout and (tokens, meta) contract as
-    turbo_kernel.decode_turbo, with the wide token packing.
+    Same lane-grid layout as turbo_kernel.decode_turbo, with the wide
+    token packing.  Returns (tokens (T,8,G), starts (T,8,G) — per-token
+    output start offsets in sub-span coordinates, START_PAD on non-emit
+    slots — and meta (6,8,G): count, end bit, error flag, still-active
+    flag, last emitted token, last token's start).
     """
     SW, _, G = planes.shape
     L = G * 8
@@ -370,7 +389,8 @@ def decode_wide(planes: jax.Array,   # (SW, 8, L//8) int32 word-planes
         partial(_decode_wide_kernel, T=T),
         grid=grid,
         out_shape=(jax.ShapeDtypeStruct((T, 8, G), jnp.int32),
-                   jax.ShapeDtypeStruct((4, 8, G), jnp.int32)),
+                   jax.ShapeDtypeStruct((T, 8, G), jnp.int32),
+                   jax.ShapeDtypeStruct((6, 8, G), jnp.int32)),
         in_specs=[
             pl.BlockSpec((1, 8, LL_W), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -380,16 +400,19 @@ def decode_wide(planes: jax.Array,   # (SW, 8, L//8) int32 word-planes
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, GB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, GB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, GB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((T, 8, GB), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 8, GB), lambda i: (0, 0, i),
+            pl.BlockSpec((T, 8, GB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, 8, GB), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ),
         compiler_params=_params(),
         interpret=_interpret(),
-    )(lt, dt, planes, bit0, endb)
+    )(lt, dt, planes, bit0, endb, base_g)
 
 
 # ---------------------------------------------------------------------------
@@ -404,17 +427,30 @@ def _resolve_wide_kernel(toks_ref, starts_ref, out_ref, words_ref, *,
     [b*128, (b+1)*128)); it persists across the tile-chunk grid axis and
     is only ever read below the write frontier, so no re-init is needed
     when the row group changes.
+
+    Far sources split at the grid step's base: everything BEFORE the step
+    (phase A1) is fixed for all TPS tiles, so one statically-unrolled
+    64-bank sweep over the 32 KiB reach window serves every tile at once
+    (a per-tile dynamic bank loop cost ~6 us per tile in loop overhead
+    alone — the round-5 first cut); sources within the step (phase A2)
+    come from the <= TPS/4 banks this step already wrote, a tiny
+    per-tile loop.  In-tile overlaps resolve by pointer doubling (B).
     """
     R = out_ref.shape[0]
     iota128 = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
     t_idx = pl.program_id(1)
     nb_tok = TOKENS_PAD // 128
+    step_base = t_idx * (TPS * 128)       # first output byte of this step
+    bk0 = t_idx * (TPS // 4)              # first bank this step writes
 
+    # --- pass 1: per-tile covering tokens (token data only, no output
+    # dependence), stashed for the batched far sweep
+    vals_j, dist_j, ism_j, srcq_j, lo_w_j, bk_j, needA1_j = \
+        [], [], [], [], [], [], []
     for j in range(TPS):
         ta = t_idx * TPS + j              # absolute tile in the block row
         toks_j = toks_ref[:, j]           # (R, TOKENS_PAD)
         starts_j = starts_ref[:, j]
-        # covering token per byte: bisection over the sorted starts
         lo = jnp.zeros((R, 128), jnp.int32)
         step = TOKENS_PAD // 2
         while step:
@@ -426,34 +462,50 @@ def _resolve_wide_kernel(toks_ref, starts_ref, out_ref, words_ref, *,
         val = tok_b & TOK_VAL_MASK
         dist = (tok_b >> TOK_DIST_SHIFT) & TOK_DIST_MASK
         ism = (tok_b & TOK_MATCH_BIT) != 0
+        q_abs = ta * 128 + iota128
+        srcq = jnp.clip(q_abs - dist, 0, NSUBB * 128 - 1)
+        vals_j.append(val)
+        dist_j.append(dist)
+        ism_j.append(ism)
+        srcq_j.append(srcq)
+        lo_w_j.append((srcq >> 2) & 127)
+        bk_j.append(srcq >> 9)
+        needA1_j.append(ism & (srcq < step_base))
+
+    # --- phase A1: one 64-bank sweep over the fixed-before-this-step
+    # 32 KiB reach window, serving all TPS tiles' far sources at once
+    # (bank predicate pre-folded into bk_eff: one compare+select per
+    # bank per tile)
+    bk_eff = [jnp.where(needA1_j[j], bk_j[j], -1) for j in range(TPS)]
+    vW = [jnp.zeros((R, 128), jnp.int32) for _ in range(TPS)]
+    for k in range(64):
+        b = jnp.maximum(bk0 - 64 + k, 0)
+        bank = words_ref[b]
+        for j in range(TPS):
+            g = jnp.take_along_axis(bank, lo_w_j[j], axis=1)
+            vW[j] = jnp.where(bk_eff[j] == b, g, vW[j])
+
+    # --- pass 2: sequential per-tile finish (in-step sources + in-tile
+    # pointer doubling + output/scratch writes)
+    for j in range(TPS):
+        ta = t_idx * TPS + j
         qbase = ta * 128
         q_abs = qbase + iota128
-        srcq = jnp.clip(q_abs - dist, 0, NSUBB * 128 - 1)
+        srcq = srcq_j[j]
+        ism = ism_j[j]
         from_res = srcq < qbase
-        # phase A: far sources from the word-packed resolved scratch,
-        # banked over only the span the tile actually references
-        need = ism & from_res
-        widx = srcq >> 2
-        lo_w = widx & 127
-        bk = widx >> 7
-        BIG = jnp.int32(1 << 20)
-        bk_lo = jnp.min(jnp.where(need, bk, BIG))
-        bk_hi = jnp.max(jnp.where(need, bk, -1))
-
-        def bank_body(b, vW):
-            g = jnp.take_along_axis(words_ref[b], lo_w, axis=1)
-            return jnp.where(bk == b, g, vW)
-
-        vW = jax.lax.fori_loop(bk_lo, bk_hi + 1, bank_body,
-                               jnp.zeros((R, 128), jnp.int32))
+        w = vW[j]
+        needA2 = ism & from_res & (srcq >= step_base)
+        for b2 in range(j // 4 + 1):
+            g = jnp.take_along_axis(words_ref[bk0 + b2], lo_w_j[j], axis=1)
+            w = jnp.where(needA2 & (bk_j[j] == bk0 + b2), g, w)
         sh8 = ((srcq & 3) * 8).astype(jnp.uint32)
-        vA = ((vW.astype(jnp.uint32) >> sh8) & 255).astype(jnp.int32)
-        # phase B: in-tile overlaps via pointer doubling
+        vA = ((w.astype(jnp.uint32) >> sh8) & 255).astype(jnp.int32)
         FLAG = jnp.int32(1) << 30
         state = jnp.where(
             ism,
-            jnp.where(from_res, vA | FLAG, q_abs - dist - qbase),
-            (val & 255) | FLAG)
+            jnp.where(from_res, vA | FLAG, q_abs - dist_j[j] - qbase),
+            (vals_j[j] & 255) | FLAG)
         for _ in range(7):
             ptr = jnp.clip(state, 0, 127)
             s2 = jnp.take_along_axis(state, ptr, axis=1)
@@ -466,8 +518,7 @@ def _resolve_wide_kernel(toks_ref, starts_ref, out_ref, words_ref, *,
         for c in range(1, 4):
             wpack = wpack | (jnp.take_along_axis(
                 vals, jnp.minimum(i4 + c, 127), axis=1) << (8 * c))
-        bank_w = t_idx * (TPS // 4) + j // 4
-        words_ref[bank_w, :, (j % 4) * 32 : (j % 4) * 32 + 32] = \
+        words_ref[bk0 + j // 4, :, (j % 4) * 32 : (j % 4) * 32 + 32] = \
             wpack[:, :32]
 
 

@@ -429,7 +429,7 @@ def sharded_wide_inflate_step(
     base_g: jax.Array,     # (8, L_pad//8) int32 first-token sub-span offsets
     lt: jax.Array,         # (n_steps, 8, LL_W) per-step tables, sharded
     dt: jax.Array,         # (n_steps, 8, D_W) per-step tables, sharded
-    mesh: Mesh, T: int, LB: int, LPB: int, SW: int,
+    mesh: Mesh, T: int, LB: int, LPB: int, SW: int, GF: int,
 ):
     """Mesh-sharded DEFAULT-profile inflate: every device runs the full
     wide Pallas pipeline (DMA lane extraction → shift → two-level-table
@@ -444,25 +444,25 @@ def sharded_wide_inflate_step(
     Returns (rows (Cb, LPB*128) uint8 sharded over block rows,
     meta (4, L_pad) int32 lane metadata, sharded cols).
     """
-    from ..codec.wide import _glue_wide
+    from ..codec.wide import _glue_wide, wide_lanes
     from ..codec.turbo import _from_grid, _to_planes
     from ..ops import turbo_kernel as tk
     from ..ops import wide_kernel as wk
 
-    L_pad = starts_w.shape[0]
+    L_pad = starts_w.shape[0] * GF
     D = mesh.devices.size
     L_loc = L_pad // D
     assert L_loc % LB == 0 and L_loc % LPB == 0
     Cb_loc = L_loc // LPB
 
     def body(starts_w, shift_idx, bit0, endb, base_g, lt, dt):
-        fetched = tk.extract_lanes(words, starts_w)
-        lanes = tk.shift_lanes(fetched, shift_idx, LB=LB, SW=SW)
+        lanes = wide_lanes(words, starts_w, shift_idx, GF=GF, SW=SW)
         planes = _to_planes(lanes, LB=LB)
-        tg, mg = wk.decode_wide(planes, bit0, endb, lt, dt, T=T, LB=LB)
-        meta = _from_grid(mg, LB=LB)
-        toks, starts = _glue_wide(tg, mg[0], base_g, T=T, Cb=Cb_loc,
-                                  LPB=LPB, LB=LB)
+        tg, sg, mg = wk.decode_wide(planes, bit0, endb, base_g, lt, dt,
+                                    T=T, LB=LB)
+        meta = _from_grid(mg[:4], LB=LB)
+        toks, starts = _glue_wide(tg, sg, mg[0], mg[4], mg[5], T=T,
+                                  Cb=Cb_loc, LPB=LPB, LB=LB)
         rows = wk.resolve_wide(toks, starts, NSUBB=LPB)
         return rows, meta
 
@@ -501,7 +501,7 @@ def parallel_inflate_wide(data: bytes, index, mesh: Mesh,
     with _phase("dispatch"):
         rows, meta = sharded_wide_inflate_step(
             *args, mesh=mesh, T=plan.T, LB=plan.LB, LPB=plan.LPB,
-            SW=plan.SW,
+            SW=plan.SW, GF=plan.GF,
         )
     with _phase("readback"):
         if check:

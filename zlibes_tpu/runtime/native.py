@@ -56,6 +56,7 @@ def _build() -> ctypes.CDLL | None:
         return None
     lib.zscan.restype = ctypes.c_int
     lib.zscan_parallel.restype = ctypes.c_int
+    lib.zdecode_parallel.restype = ctypes.c_int
     lib.zresolve.restype = ctypes.c_int
     lib.zadler32.restype = ctypes.c_uint32
     return lib
@@ -194,6 +195,119 @@ def scan(data: bytes, bit_offset: int = 0, anchor_every: int = 4096,
     )
     return (toks_val[: n_toks.value], toks_dist[: n_toks.value], index,
             end_bit.value, out_len.value)
+
+
+def decode(data: bytes, bit_offset: int = 0, anchor_every: int = 4096,
+           dictionary: bytes | None = None, threads: int = 0,
+           span_bytes: int = 0):
+    """Fused pipelined foreign decode: wave scan + trailing resolver.
+
+    One native call runs the speculative-parallel structure scan while a
+    resolver thread trails the merge frontier, expanding tokens into the
+    output buffer and folding the Adler-32 of the produced bytes into the
+    same cache-hot pass (VERDICT r4 #4 — previously scan, resolve and
+    checksum were three sequential whole-output passes).
+
+    Returns (out uint8 ndarray, StreamIndex, end_bit, adler32).
+    """
+    lib = _get()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    import os as _os
+
+    if threads <= 0:
+        # one core is the resolver's: the scan gets cpu-1 so the fused
+        # pipeline never oversubscribes (on a 2-core host the scan runs
+        # single-threaded with progressive frontier publishes while the
+        # other core resolves and checksums)
+        threads = max(1, (_os.cpu_count() or 2) - 1)
+    if span_bytes <= 0:
+        span_bytes = min(8 << 20,
+                         max(1 << 18, len(data) // max(1, 2 * threads)))
+    dict_tail = bytes(dictionary[-32768:]) if dictionary else b""
+    raw = np.frombuffer(bytes(data), dtype=np.uint8)
+    buf = np.concatenate([raw, np.zeros(8, np.uint8)])
+    nbytes = raw.size
+    cap_toks = max(1 << 16, nbytes * 4)
+    cap_blocks = 4096
+    out_cap = max(1 << 20, nbytes * 8)
+    prefix = len(dict_tail)
+    while True:
+        toks_val = np.empty(cap_toks, np.int32)
+        toks_dist = np.empty(cap_toks, np.int32)
+        blocks = (_BlockRec * cap_blocks)()
+        cap_anch = max(1024, cap_toks // max(anchor_every // 8, 1))
+        a_bit = np.empty(cap_anch, np.int64)
+        a_out = np.empty(cap_anch, np.int64)
+        a_blk = np.empty(cap_anch, np.int32)
+        out = np.empty(out_cap + prefix, np.uint8)
+        if prefix:
+            out[:prefix] = np.frombuffer(dict_tail, np.uint8)
+        n_toks = ctypes.c_int64()
+        n_blocks = ctypes.c_int64()
+        n_anch = ctypes.c_int64()
+        end_bit = ctypes.c_int64()
+        out_len = ctypes.c_int64()
+        crossing = ctypes.c_int64()
+        spliced = ctypes.c_int64()
+        adler = ctypes.c_uint32()
+        rc = lib.zdecode_parallel(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(nbytes), ctypes.c_int64(bit_offset),
+            toks_val.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            toks_dist.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(cap_toks),
+            blocks, ctypes.c_int64(cap_blocks),
+            a_bit.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            a_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            a_blk.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(cap_anch), ctypes.c_int64(anchor_every),
+            ctypes.c_int64(prefix),
+            ctypes.c_int64(threads), ctypes.c_int64(span_bytes),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(out_cap + prefix), ctypes.c_int64(prefix),
+            ctypes.byref(n_toks), ctypes.byref(n_blocks),
+            ctypes.byref(n_anch), ctypes.byref(end_bit),
+            ctypes.byref(out_len), ctypes.byref(crossing),
+            ctypes.byref(spliced), ctypes.byref(adler))
+        if rc == -5:
+            cap_toks *= 4
+            continue
+        if rc == -6:
+            cap_blocks *= 4
+            continue
+        if rc == -7:
+            cap_toks *= 2
+            continue
+        if rc == -9:
+            out_cap *= 8
+            continue
+        if rc != 0:
+            exc, msg = _ERRORS.get(rc, (CorruptError,
+                                        f"native decode error {rc}"))
+            raise exc(msg)
+        break
+    nb = n_blocks.value
+    infos = [
+        BlockInfo(
+            btype=int(blocks[i].btype), bfinal=bool(blocks[i].bfinal),
+            start_bit=int(blocks[i].start_bit),
+            payload_start_bit=int(blocks[i].payload_start_bit),
+            end_bit=int(blocks[i].end_bit),
+            out_start=int(blocks[i].out_start),
+            out_len=int(blocks[i].out_len),
+        )
+        for i in range(nb)
+    ]
+    index = StreamIndex(
+        infos,
+        a_bit[: n_anch.value].copy(),
+        a_out[: n_anch.value].copy(),
+        a_blk[: n_anch.value].copy(),
+        self_contained=(crossing.value == 0),
+    )
+    return (out[prefix : prefix + out_len.value], index, end_bit.value,
+            int(adler.value))
 
 
 def resolve(toks_val: np.ndarray, toks_dist: np.ndarray, out_len: int,

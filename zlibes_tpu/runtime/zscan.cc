@@ -22,7 +22,9 @@
 #include <cstring>
 #include <cstddef>
 #include <atomic>
+#include <condition_variable>
 #include <memory>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -600,7 +602,78 @@ void spec_worker(const uint8_t* data, size_t nbits, size_t sbit, size_t ebit,
 // candidate bit equals the authoritative chain end — falling back to a
 // serial rescan of just that span otherwise.  Output is bit-identical to
 // zscan.  Returns Z_OK or error.
-int zscan_parallel(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
+namespace {
+
+// token-range resolve shared by zresolve and the pipelined decoder;
+// advances *o and folds the produced bytes into a running Adler-32
+// (same cache-hot pass — VERDICT r4 #4: scan, resolve and checksum were
+// three sequential whole-output passes)
+int resolve_range(const int32_t* toks_val, const int32_t* toks_dist,
+                  int64_t t0, int64_t t1, uint8_t* out, int64_t out_cap,
+                  int64_t* o_io, uint32_t* s1_io, uint32_t* s2_io) {
+  int64_t o = *o_io;
+  int64_t a0 = o;
+  for (int64_t t = t0; t < t1; t++) {
+    int32_t d = toks_dist[t];
+    if (d == 0) {
+      if (o >= out_cap) return -9;
+      out[o++] = (uint8_t)toks_val[t];
+    } else {
+      int64_t len = toks_val[t];
+      if (d > o) return -4;
+      if (o + len > out_cap) return -9;
+      const uint8_t* src = out + o - d;
+      uint8_t* dst = out + o;
+      if (d >= len) {
+        memcpy(dst, src, (size_t)len);
+      } else {
+        memcpy(dst, src, (size_t)d);
+        int64_t done = d;
+        while (done < len) {
+          int64_t c = done < len - done ? done : len - done;
+          memcpy(dst + done, dst, (size_t)c);
+          done += c;
+        }
+      }
+      o += len;
+    }
+  }
+  uint32_t s1 = *s1_io, s2 = *s2_io;
+  int64_t i = a0;
+  while (i < o) {
+    int64_t blk = o - i < 5552 ? o - i : 5552;
+    for (int64_t k = 0; k < blk; k++) { s1 += out[i + k]; s2 += s1; }
+    s1 %= 65521; s2 %= 65521;
+    i += blk;
+  }
+  *o_io = o;
+  *s1_io = s1;
+  *s2_io = s2;
+  return 0;
+}
+
+}  // namespace
+
+namespace {
+
+// merge-progress channel between the scan and the pipelined resolver
+struct Progress {
+  std::mutex m;
+  std::condition_variable cv;
+  int64_t frontier = 0;  // tokens fully merged into the output arrays
+  bool done = false;
+  void publish(int64_t f) {
+    { std::lock_guard<std::mutex> lk(m); if (f > frontier) frontier = f; }
+    cv.notify_one();
+  }
+  void finish() {
+    { std::lock_guard<std::mutex> lk(m); done = true; }
+    cv.notify_one();
+  }
+};
+
+int scan_parallel_impl(const uint8_t* data, int64_t nbytes,
+                   int64_t bit_offset,
                    int32_t* toks_val, int32_t* toks_dist, int64_t max_toks,
                    BlockRec* blocks, int64_t max_blocks,
                    int64_t* anchor_bit, int64_t* anchor_out,
@@ -611,7 +684,8 @@ int zscan_parallel(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
                    int64_t* n_toks_out, int64_t* n_blocks_out,
                    int64_t* n_anchors_out,
                    int64_t* end_bit_out, int64_t* out_len_out,
-                   int64_t* crossing_out, int64_t* spliced_out) {
+                   int64_t* crossing_out, int64_t* spliced_out,
+                   Progress* prog) {
   size_t nbits = (size_t)nbytes * 8;
   if (nthreads <= 0) nthreads = (int64_t)std::thread::hardware_concurrency();
   if (nthreads < 1) nthreads = 1;
@@ -620,11 +694,34 @@ int zscan_parallel(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
   int64_t nspans = (nbytes - start_byte + span_bytes - 1) / span_bytes;
   if (nspans < 2 || nthreads < 2) {
     *spliced_out = 0;
-    return zscan(data, nbytes, bit_offset, toks_val, toks_dist, max_toks,
-                 blocks, max_blocks, anchor_bit, anchor_out, anchor_block,
-                 max_anchors, anchor_every, dict_len, n_toks_out,
-                 n_blocks_out, n_anchors_out, end_bit_out, out_len_out,
-                 crossing_out);
+    if (!prog) {
+      return zscan(data, nbytes, bit_offset, toks_val, toks_dist, max_toks,
+                   blocks, max_blocks, anchor_bit, anchor_out, anchor_block,
+                   max_anchors, anchor_every, dict_len, n_toks_out,
+                   n_blocks_out, n_anchors_out, end_bit_out, out_len_out,
+                   crossing_out);
+    }
+    // pipelined serial scan: publish the token frontier every ~256 KiB
+    // of compressed input so the trailing resolver overlaps even when
+    // only one scan thread runs (the 2-core case: one core scans, the
+    // other resolves+checksums)
+    BitReader br0{data, nbits, (size_t)bit_offset, false};
+    ScanCtx C0{toks_val, toks_dist, max_toks, blocks, max_blocks,
+               anchor_bit, anchor_out, anchor_block, max_anchors,
+               anchor_every};
+    int rc0;
+    do {
+      rc0 = scan_core(br0, C0, br0.pos + (256u << 13), false, dict_len);
+      if (rc0 < 0) return rc0;
+      prog->publish(C0.ntok);
+    } while (rc0 != Z_DONE_);
+    *n_toks_out = C0.ntok;
+    *n_blocks_out = C0.nblk;
+    *n_anchors_out = C0.nanch;
+    *end_bit_out = (int64_t)br0.pos;
+    *out_len_out = C0.out;
+    *crossing_out = C0.crossing;
+    return Z_OK;
   }
 
   // Spans speculate in WAVES of a few per worker, and every span's
@@ -671,6 +768,7 @@ int zscan_parallel(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
     if (first) {
       first = false;
       if (rc < 0) return rc;
+      if (prog) prog->publish(C.ntok);
     }
 
     for (int64_t k = w0; k < w1 && rc != Z_DONE_; k++) {
@@ -723,12 +821,14 @@ int zscan_parallel(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
         if (rc < 0) return rc;
       }
       R = SpecResult();  // release this span's speculative buffers now
+      if (prog) prog->publish(C.ntok);
     }
     w0 = w1;
   }
   if (rc != Z_DONE_) {
     rc = scan_core(br, C, (size_t)-1, false, dict_len);
     if (rc < 0) return rc;
+    if (prog) prog->publish(C.ntok);
   }
   *n_toks_out = C.ntok;
   *n_blocks_out = C.nblk;
@@ -737,6 +837,91 @@ int zscan_parallel(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
   *out_len_out = C.out;
   *crossing_out = C.crossing;
   *spliced_out = spliced;
+  return Z_OK;
+}
+
+}  // namespace
+
+int zscan_parallel(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
+                   int32_t* toks_val, int32_t* toks_dist, int64_t max_toks,
+                   BlockRec* blocks, int64_t max_blocks,
+                   int64_t* anchor_bit, int64_t* anchor_out,
+                   int32_t* anchor_block,
+                   int64_t max_anchors, int64_t anchor_every,
+                   int64_t dict_len,
+                   int64_t nthreads, int64_t span_bytes,
+                   int64_t* n_toks_out, int64_t* n_blocks_out,
+                   int64_t* n_anchors_out,
+                   int64_t* end_bit_out, int64_t* out_len_out,
+                   int64_t* crossing_out, int64_t* spliced_out) {
+  return scan_parallel_impl(
+      data, nbytes, bit_offset, toks_val, toks_dist, max_toks, blocks,
+      max_blocks, anchor_bit, anchor_out, anchor_block, max_anchors,
+      anchor_every, dict_len, nthreads, span_bytes, n_toks_out,
+      n_blocks_out, n_anchors_out, end_bit_out, out_len_out, crossing_out,
+      spliced_out, nullptr);
+}
+
+// Fused pipelined decode: the wave-scan runs while a resolver thread
+// trails the merge frontier, expanding tokens into ``out`` and folding
+// the Adler-32 of the produced bytes into the same cache-hot pass
+// (VERDICT r4 #4 — scan, LZ resolve and checksum used to be three
+// sequential whole-output passes; the 32 KiB back-reference window only
+// ever points at already-resolved output, so the resolver can trail the
+// scan at any distance).  ``out`` may be pre-seeded with ``prefix_len``
+// dictionary bytes.  Returns Z_OK, a scan error, Z_ERR_CORRUPT, or -9
+// when out_cap is too small (caller grows and retries).
+int zdecode_parallel(const uint8_t* data, int64_t nbytes, int64_t bit_offset,
+                     int32_t* toks_val, int32_t* toks_dist, int64_t max_toks,
+                     BlockRec* blocks, int64_t max_blocks,
+                     int64_t* anchor_bit, int64_t* anchor_out,
+                     int32_t* anchor_block,
+                     int64_t max_anchors, int64_t anchor_every,
+                     int64_t dict_len,
+                     int64_t nthreads, int64_t span_bytes,
+                     uint8_t* out, int64_t out_cap, int64_t prefix_len,
+                     int64_t* n_toks_out, int64_t* n_blocks_out,
+                     int64_t* n_anchors_out,
+                     int64_t* end_bit_out, int64_t* out_len_out,
+                     int64_t* crossing_out, int64_t* spliced_out,
+                     uint32_t* adler_out) {
+  Progress prog;
+  std::atomic<int> resolver_rc{0};
+  std::thread resolver([&]() {
+    int64_t t = 0, o = prefix_len;
+    uint32_t s1 = 1, s2 = 0;
+    for (;;) {
+      int64_t f;
+      bool done;
+      {
+        std::unique_lock<std::mutex> lk(prog.m);
+        prog.cv.wait(lk, [&] { return prog.frontier > t || prog.done; });
+        f = prog.frontier;
+        done = prog.done;
+      }
+      if (f > t) {
+        int rc = resolve_range(toks_val, toks_dist, t, f, out, out_cap,
+                               &o, &s1, &s2);
+        if (rc) { resolver_rc.store(rc); break; }
+        t = f;
+      } else if (done) {
+        break;
+      }
+    }
+    *adler_out = (s2 << 16) | s1;
+  });
+  int rc = scan_parallel_impl(
+      data, nbytes, bit_offset, toks_val, toks_dist, max_toks, blocks,
+      max_blocks, anchor_bit, anchor_out, anchor_block, max_anchors,
+      anchor_every, dict_len, nthreads, span_bytes, n_toks_out,
+      n_blocks_out, n_anchors_out, end_bit_out, out_len_out, crossing_out,
+      spliced_out, &prog);
+  prog.finish();
+  resolver.join();
+  if (rc != Z_OK) return rc;
+  int rrc = resolver_rc.load();
+  if (rrc) return rrc;
+  if (*out_len_out + prefix_len > out_cap) return -9;
   return Z_OK;
 }
 
