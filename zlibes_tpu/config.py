@@ -66,7 +66,7 @@ class CodecConfig:
         return -(-((s * self.max_code_bits + 31) // 32 + 2) // 8) * 8
 
     @staticmethod
-    def turbo(candidates: int = 12, probe_words: int = 6,
+    def turbo(candidates: int = 12, probe_words: int = 4,
               lazy: bool = True) -> "CodecConfig":
         """The TPU-native fast profile: streams remain 100% zlib-conformant
         (any inflate decodes them) but carry the structure the Pallas
@@ -76,10 +76,12 @@ class CodecConfig:
         code lengths capped at 9 bits, and no token wider than 32 bits
         (far long matches split so the decode buffer refill never
         stalls).  (probe_words, candidates) default to the measured
-        speed/ratio knee (tools/sweep_matcher.py, round 4): S=6/J=12 is
-        +0.06% compressed size vs S=8/J=12 for one fewer operand in the
-        matcher's dominant multi-operand sort; the 27-byte probe cap is
-        backstopped by the dist-1 run detector for long RLE matches."""
+        speed/ratio knee (tools/sweep_matcher.py; re-swept round 5):
+        S=4/J=12 is +0.1% compressed size vs S=6/J=12 (0.4208 vs 0.4204
+        on the bench corpus, still under the 0.421 gate) for two fewer
+        operands in the matcher's dominant multi-operand sort; the
+        19-byte probe cap is backstopped by the dist-1 run detector for
+        long RLE matches and split_far's 130-cap for far matches."""
         return CodecConfig(
             seg_size=512, chunk_reset=4096, shared_tables=True,
             max_code_bits=9, candidates=candidates,
@@ -93,12 +95,15 @@ class CodecConfig:
         if level == 0:
             return CodecConfig(probe_words=1, candidates=0, lazy=False,
                                force_stored=True)
-        # measured on raw.bin (tools/sweep: round 4): candidates J buy
-        # ratio, probe depth S barely does — S=16/J=24 is +0.054% vs
-        # S=32/J=24 (191419 vs 191316 B, ref bar 191734) while halving
-        # the matcher's sort operands (the compile-time and run-time
-        # driver of the whole encode).  Deep probes are reserved for the
-        # top levels.
+        # measured on raw.bin (tools/sweep: rounds 4-5): candidates J buy
+        # ratio, probe depth S barely does — and S > 16 builds matcher
+        # sort programs this environment's remote-compile service cannot
+        # finish (>28 min even chunked; BASELINE.md "per-level compile
+        # contract").  Every level therefore caps S at 16 (one 17-operand
+        # sort, ~250-300 s cold) and the top levels buy their ratio with
+        # deeper candidate scans: S=16/J=64 produces 188,380 B on
+        # raw.bin — better than round 4's S=32/J=48 level 9 (188,930)
+        # at a fraction of the compile cost.
         table = {
             1: dict(probe_words=4, candidates=2, lazy=False),
             2: dict(probe_words=4, candidates=4, lazy=False),
@@ -107,8 +112,8 @@ class CodecConfig:
             5: dict(probe_words=8, candidates=8, lazy=True),
             6: dict(probe_words=16, candidates=24, lazy=True),
             7: dict(probe_words=16, candidates=32, lazy=True),
-            8: dict(probe_words=24, candidates=40, lazy=True),
-            9: dict(probe_words=32, candidates=48, lazy=True),
+            8: dict(probe_words=16, candidates=48, lazy=True),
+            9: dict(probe_words=16, candidates=64, lazy=True),
         }
         return CodecConfig(**table[level])
 

@@ -115,13 +115,15 @@ def find_matches(
     nrow = N // reset if (reset and N % reset == 0) else 1
     if nrow > 1:
         ops = tuple(o.reshape(B * nrow, reset) for o in ops)
-    # chunked multi-operand sort: each lax.sort carries <= 16 payload
-    # operands.  The 34-operand S=32 sort jammed this environment's
-    # remote-compile service outright (>50 min, BASELINE.md); stable
-    # sorts keyed by the IDENTICAL key array produce the identical
-    # permutation, so later probe chunks splice in exactly (VERDICT r4
-    # #5: every level must compile cold in minutes).
-    MAXP = 16
+    # chunked multi-operand sort: each lax.sort carries <= 15 payload
+    # operands (17 total with key+pos — the widest size measured to
+    # compile in ~250-300 s here; an 18-operand first chunk already
+    # re-jammed the remote-compile service for >28 min, and the
+    # 34-operand S=32 sort jammed it outright in r4, BASELINE.md).
+    # Stable sorts keyed by the IDENTICAL key array produce the
+    # identical permutation, so later probe chunks splice in exactly
+    # (VERDICT r4 #5: every level must compile cold in minutes).
+    MAXP = 15
     head = jax.lax.sort(ops[: 2 + MAXP], dimension=1, is_stable=True,
                         num_keys=1)
     skey, sposp = head[0], head[1]
