@@ -419,7 +419,7 @@ def decode_wide(planes: jax.Array,   # (SW, 8, L//8) int32 word-planes
 # stage 3: block-row LZ resolve with 32 KiB reach
 
 def _resolve_wide_kernel(toks_ref, starts_ref, out_ref, words_ref, *,
-                         TPS: int, NSUBB: int):
+                         TPS: int, NSUBB: int, A1: int = 64):
     """Tile-sequential resolve over block rows.
 
     Grid (rows, tile-chunks): the words_ref scratch holds each row's
@@ -444,21 +444,26 @@ def _resolve_wide_kernel(toks_ref, starts_ref, out_ref, words_ref, *,
     bk0 = t_idx * (TPS // 4)              # first bank this step writes
 
     # --- pass 1: per-tile covering tokens (token data only, no output
-    # dependence), stashed for the batched far sweep
+    # dependence), stashed for the batched far sweep.  The TPS bisection
+    # chains are independent, so the round loop is OUTER: all 16 tiles'
+    # dependent-gather chains advance together (ILP), instead of 16
+    # serial 8-round chains.
+    starts_t = [starts_ref[:, j] for j in range(TPS)]
+    lo_t = [jnp.zeros((R, 128), jnp.int32) for _ in range(TPS)]
+    step = TOKENS_PAD // 2
+    while step:
+        for j in range(TPS):
+            mid = lo_t[j] + step
+            sv = _pgather(starts_t[j], jnp.minimum(mid, TOKENS_PAD - 1),
+                          nb_tok)
+            lo_t[j] = jnp.where((mid < TOKENS_PAD) & (sv <= iota128),
+                                mid, lo_t[j])
+        step //= 2
     vals_j, dist_j, ism_j, srcq_j, lo_w_j, bk_j, needA1_j = \
         [], [], [], [], [], [], []
     for j in range(TPS):
         ta = t_idx * TPS + j              # absolute tile in the block row
-        toks_j = toks_ref[:, j]           # (R, TOKENS_PAD)
-        starts_j = starts_ref[:, j]
-        lo = jnp.zeros((R, 128), jnp.int32)
-        step = TOKENS_PAD // 2
-        while step:
-            mid = lo + step
-            sv = _pgather(starts_j, jnp.minimum(mid, TOKENS_PAD - 1), nb_tok)
-            lo = jnp.where((mid < TOKENS_PAD) & (sv <= iota128), mid, lo)
-            step //= 2
-        tok_b = _pgather(toks_j, lo, nb_tok)
+        tok_b = _pgather(toks_ref[:, j], lo_t[j], nb_tok)
         val = tok_b & TOK_VAL_MASK
         dist = (tok_b >> TOK_DIST_SHIFT) & TOK_DIST_MASK
         ism = (tok_b & TOK_MATCH_BIT) != 0
@@ -478,15 +483,21 @@ def _resolve_wide_kernel(toks_ref, starts_ref, out_ref, words_ref, *,
     # bank per tile)
     bk_eff = [jnp.where(needA1_j[j], bk_j[j], -1) for j in range(TPS)]
     vW = [jnp.zeros((R, 128), jnp.int32) for _ in range(TPS)]
-    for k in range(64):
-        b = jnp.maximum(bk0 - 64 + k, 0)
+    for k in range(A1):
+        b = jnp.maximum(bk0 - A1 + k, 0)
         bank = words_ref[b]
         for j in range(TPS):
             g = jnp.take_along_axis(bank, lo_w_j[j], axis=1)
             vW[j] = jnp.where(bk_eff[j] == b, g, vW[j])
 
     # --- pass 2: sequential per-tile finish (in-step sources + in-tile
-    # pointer doubling + output/scratch writes)
+    # pointer doubling), with the scratch word-pack batched into one FULL
+    # (R, 128) bank write per 4 tiles: a 32-lane partial write to a
+    # dynamically-indexed bank lowers to an expensive masked store, and
+    # the accumulator also serves A2 reads of the in-flight bank
+    FLAG = jnp.int32(1) << 30
+    vals_out = []
+    bank_acc = jnp.zeros((R, 128), jnp.int32)
     for j in range(TPS):
         ta = t_idx * TPS + j
         qbase = ta * 128
@@ -496,12 +507,15 @@ def _resolve_wide_kernel(toks_ref, starts_ref, out_ref, words_ref, *,
         from_res = srcq < qbase
         w = vW[j]
         needA2 = ism & from_res & (srcq >= step_base)
-        for b2 in range(j // 4 + 1):
+        for b2 in range(j // 4):
             g = jnp.take_along_axis(words_ref[bk0 + b2], lo_w_j[j], axis=1)
             w = jnp.where(needA2 & (bk_j[j] == bk0 + b2), g, w)
+        if j % 4:
+            # the current bank lives in the accumulator, not words_ref
+            g = jnp.take_along_axis(bank_acc, lo_w_j[j], axis=1)
+            w = jnp.where(needA2 & (bk_j[j] == bk0 + j // 4), g, w)
         sh8 = ((srcq & 3) * 8).astype(jnp.uint32)
         vA = ((w.astype(jnp.uint32) >> sh8) & 255).astype(jnp.int32)
-        FLAG = jnp.int32(1) << 30
         state = jnp.where(
             ism,
             jnp.where(from_res, vA | FLAG, q_abs - dist_j[j] - qbase),
@@ -511,23 +525,32 @@ def _resolve_wide_kernel(toks_ref, starts_ref, out_ref, words_ref, *,
             s2 = jnp.take_along_axis(state, ptr, axis=1)
             state = jnp.where(state >= FLAG, state, s2)
         vals = state & 255
-        out_ref[:, j * 128 : (j + 1) * 128] = vals.astype(jnp.uint8)
-        # pack this tile's 128 bytes into 32 scratch words
-        i4 = jnp.minimum(iota128 * 4, 124)
+        vals_out.append(vals)
+        # pack this tile's 128 bytes into accumulator lanes
+        # [(j%4)*32, (j%4+1)*32)
+        base_lane = (j % 4) * 32
+        i4 = jnp.clip(iota128 * 4 - base_lane * 4, 0, 124)
+        in_lane = (iota128 >= base_lane) & (iota128 < base_lane + 32)
         wpack = jnp.take_along_axis(vals, i4, axis=1)
         for c in range(1, 4):
             wpack = wpack | (jnp.take_along_axis(
-                vals, jnp.minimum(i4 + c, 127), axis=1) << (8 * c))
-        words_ref[bk0 + j // 4, :, (j % 4) * 32 : (j % 4) * 32 + 32] = \
-            wpack[:, :32]
+                vals, jnp.clip(i4 + c, 0, 127), axis=1) << (8 * c))
+        bank_acc = jnp.where(in_lane, wpack, bank_acc)
+        if j % 4 == 3:
+            words_ref[bk0 + j // 4] = bank_acc
+            bank_acc = jnp.zeros((R, 128), jnp.int32)
+    for j in range(TPS):
+        out_ref[:, j * 128 : (j + 1) * 128] = vals_out[j].astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("NSUBB", "R", "TPS"))
+@partial(jax.jit, static_argnames=("NSUBB", "R", "TPS", "A1"))
 def resolve_wide(toks: jax.Array,    # (Cb, NSUBB, TOKENS_PAD) int32
                  starts: jax.Array,  # same shape, starts within sub-span
                  NSUBB: int,         # 128-B sub-spans (= tiles) per block
                  R: int = ROW_BLOCK,
-                 TPS: int = TILE_STEP):
+                 TPS: int = TILE_STEP,
+                 A1: int = 64):      # far-sweep banks (< 64 is a PROBE
+                                     # knob: wrong results, timing only)
     """Expand per-sub-span token streams into (Cb, NSUBB*128) block rows.
 
     ``starts`` are per-token output offsets within the owning 128-byte
@@ -543,7 +566,7 @@ def resolve_wide(toks: jax.Array,    # (Cb, NSUBB, TOKENS_PAD) int32
     spec = pl.BlockSpec((R, TPS, TOKENS_PAD), lambda r, t: (r, t, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_resolve_wide_kernel, TPS=TPS, NSUBB=NSUBB),
+        partial(_resolve_wide_kernel, TPS=TPS, NSUBB=NSUBB, A1=A1),
         grid=grid,
         out_shape=jax.ShapeDtypeStruct((Cb, NSUBB * 128), jnp.uint8),
         in_specs=[spec, spec],
