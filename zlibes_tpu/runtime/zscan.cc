@@ -728,9 +728,12 @@ int scan_parallel_impl(const uint8_t* data, int64_t nbytes,
   // buffers are released as soon as it is spliced or rescanned: the
   // speculative arrays cost ~24 bytes per compressed byte, so scanning
   // every span of a multi-GB stream at once would transiently allocate
-  // tens of GB (ADVICE r4).  Peak memory is now O(wave * span_bytes).
+  // tens of GB (ADVICE r4).  Peak memory is O(wave * span_bytes) — with
+  // the 8 MiB span cap (native.py), <= ~770 MB/worker worst case.  Four
+  // spans per worker keep the pool busy across the merge barrier (two
+  // per worker measurably idled it back to serial speed).
   int64_t nworkers = nthreads - 1 < nspans - 1 ? nthreads - 1 : nspans - 1;
-  int64_t wave = nworkers * 2 < 2 ? 2 : nworkers * 2;
+  int64_t wave = nworkers * 4 < 4 ? 4 : nworkers * 4;
 
   ScanCtx C{toks_val, toks_dist, max_toks, blocks, max_blocks,
             anchor_bit, anchor_out, anchor_block, max_anchors, anchor_every};
